@@ -1,0 +1,123 @@
+"""Pinhole camera: batched ray generation.
+
+TPU-native counterpart of ``/root/reference/src/camera.rs``. The reference
+generates one ray at a time from a ``camera_to_world: Affine3A`` and a
+vfov-derived ``scale = tan(vfov/2)`` (camera.rs:18-39,56-69); here ray
+generation is a single batched affine transform over all (pixel, sample)
+coordinates — pure VPU work that XLA fuses into the downstream intersection.
+
+Reference conventions replicated exactly:
+  * ndc: px = (2*(x+0.5)/W - 1) * scale * aspect,  py likewise with H
+    (camera.rs:59-60); the caller passes x = pixel_x + U[0,1) jitter
+    (main.rs:92-94).
+  * ray point = c2w @ (px, py, -1); origin = c2w @ 0; dir = point - origin
+    (unnormalized! camera.rs:62-68 — hit math everywhere divides by
+    |d|^2-style terms, so this matters).
+  * per-ray shutter time ~ U[time0, time1) (camera.rs:67).
+  * the builders pass glam's look_at_rh (a WORLD->VIEW matrix) as
+    camera_to_world (scene.rs:418 etc.) — a reference quirk we replicate in
+    models/builders.py, not here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CameraData(NamedTuple):
+    """Camera parameters as a differentiable pytree leaf set.
+
+    c2w is a 3x4 affine (rotation|translation), row-vector-free convention:
+    world_p = c2w[:, :3] @ p + c2w[:, 3].
+    """
+
+    c2w: jnp.ndarray          # [3, 4] float32
+    scale: jnp.ndarray        # [] tan(vfov_deg/2 in radians)
+    aspect: jnp.ndarray       # [] aspect ratio (width/height)
+    time0: jnp.ndarray        # [] shutter open
+    time1: jnp.ndarray        # [] shutter close
+
+
+def make_camera(c2w, vfov_deg, aspect, time0=0.0, time1=1.0) -> CameraData:
+    c2w = jnp.asarray(c2w, jnp.float32).reshape(3, 4)
+    scale = jnp.tan(jnp.deg2rad(jnp.asarray(vfov_deg, jnp.float32)) * 0.5)
+    return CameraData(
+        c2w=c2w,
+        scale=scale,
+        aspect=jnp.asarray(aspect, jnp.float32),
+        time0=jnp.asarray(time0, jnp.float32),
+        time1=jnp.asarray(time1, jnp.float32),
+    )
+
+
+def look_at_rh(eye, center, up) -> jnp.ndarray:
+    """glam-compatible ``Affine3A::look_at_rh`` (a world->view matrix).
+
+    The reference feeds this matrix in as "camera_to_world"
+    (scene.rs:417-418) — the pose quirk is part of its image output, so the
+    procedural scene builders reproduce it bit-for-bit.
+    """
+    eye = jnp.asarray(eye, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    f = center - eye
+    f = f / jnp.linalg.norm(f)
+    s = jnp.cross(f, up)
+    s = s / jnp.linalg.norm(s)
+    u = jnp.cross(s, f)
+    rot = jnp.stack([s, u, -f], axis=0)            # [3,3]
+    trans = -rot @ eye                              # [3]
+    return jnp.concatenate([rot, trans[:, None]], axis=1)  # [3,4]
+
+
+def transform_point(c2w: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply a [3,4] affine to [..., 3] points."""
+    return p @ c2w[:, :3].T + c2w[:, 3]
+
+
+def generate_rays(cam: CameraData, x, y, width: int, height: int, time_u):
+    """Batched ``Camera::get_ray`` (camera.rs:56-69).
+
+    Args:
+      cam: camera parameters.
+      x, y: [...] float pixel coordinates (already jittered by the caller).
+      width, height: image dims in pixels (static ints).
+      time_u: [...] uniforms in [0,1) mapped to [time0, time1).
+
+    Returns (origins [...,3], directions [...,3], times [...]).
+    """
+    px = (2.0 * (x + 0.5) / width - 1.0) * cam.scale * cam.aspect
+    py = (2.0 * (y + 0.5) / height - 1.0) * cam.scale
+    ndc = jnp.stack([px, py, -jnp.ones_like(px)], axis=-1)
+    origin = cam.c2w[:, 3]
+    point = transform_point(cam.c2w, ndc)
+    direction = point - origin
+    times = cam.time0 + time_u * (cam.time1 - cam.time0)
+    origins = jnp.broadcast_to(origin, direction.shape)
+    return origins, direction, times
+
+
+def camera_rays_for_wave(cam: CameraData, key: jax.Array,
+                         width: int, height: int):
+    """One full-image wave of primary rays (one sample per pixel).
+
+    Pixel order is row-major over (y, x); the vertical flip at image write
+    time (main.rs:108) is handled by utils/image.py, not here.
+    """
+    from rust_ray_tracer_tpu.utils import rng as rngu
+
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    xx = xx.reshape(-1)
+    yy = yy.reshape(-1)
+    n = width * height
+    jit_key = rngu.stream(key, rngu.JITTER)
+    time_key = rngu.stream(key, rngu.TIME)
+    jitter = jax.random.uniform(jit_key, (n, 2), dtype=jnp.float32)
+    time_u = jax.random.uniform(time_key, (n,), dtype=jnp.float32)
+    return generate_rays(cam, xx + jitter[:, 0], yy + jitter[:, 1],
+                         width, height, time_u)

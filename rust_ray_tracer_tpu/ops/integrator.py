@@ -1,0 +1,136 @@
+"""Wavefront path-tracing integrator.
+
+This is the TPU-native replacement for the reference's per-pixel recursion
+(``ray_color``, ``/root/reference/src/ray.rs:78-127``) and its rayon
+row-parallel render loop (``main.rs:86-112``): all rays of a sample-wave
+advance together through a fixed number of bounces (MAX_DEPTH=4 in the
+reference, ``main.rs:56``), carrying ``(radiance L, throughput beta, alive)``.
+
+Estimator equivalence with the recursion:
+  * hit + emission:   L += beta * emitted            (ray.rs:90,114)
+  * diffuse scatter:  beta *= albedo * s_pdf / pdf   (ray.rs:114-120)
+  * specular scatter: beta *= attenuation            (ray.rs:93-98)
+  * no scatter:       ray dies after emission        (ray.rs:121-122)
+  * miss:             L += beta * background, dies   (ray.rs:126)
+  * depth exhausted:  remaining contribution is 0    (ray.rs:85-87)
+
+Rays are processed in fixed-size chunks (``lax.map``) so the [chunk, P]
+intersection intermediates stay bounded regardless of image size; each
+bounce can be rematerialized (``jax.checkpoint``) so reverse-mode memory is
+one bounce, not depth bounces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rust_ray_tracer_tpu.ops import camera as cam_ops
+from rust_ray_tracer_tpu.ops.intersect import intersect
+from rust_ray_tracer_tpu.ops.shade import shade
+from rust_ray_tracer_tpu.utils import rng as rngu
+
+MAX_DEPTH = 4  # main.rs:56
+
+
+def _bounce(scene, carry, bkey):
+    """One wavefront bounce: intersect + shade + state update."""
+    o, d, time, L, beta, alive = carry
+    c = o.shape[0]
+    med_u = None
+    if scene.n_media:
+        med_u = jax.random.uniform(rngu.stream(bkey, rngu.MEDIUM),
+                                   (c, scene.n_media), dtype=o.dtype)
+    hit = intersect(scene, o, d, time, med_u)
+
+    miss = alive & ~hit.hit
+    L = L + jnp.where(miss[:, None], beta * scene.background, 0.0)
+
+    live = alive & hit.hit
+    sc = shade(scene, bkey, d, time, hit)
+    L = L + jnp.where(live[:, None], beta * sc.emitted, 0.0)
+    beta = jnp.where(live[:, None], beta * sc.weight, beta)
+    alive = live & sc.alive
+    o = jnp.where(alive[:, None], hit.p, o)
+    d = jnp.where(alive[:, None], sc.direction, d)
+    return o, d, time, L, beta, alive
+
+
+def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
+               remat: bool = True):
+    """Trace a chunk of rays to completion. Returns radiance [C,3]."""
+    c = o.shape[0]
+    L = jnp.zeros((c, 3), o.dtype)
+    beta = jnp.ones((c, 3), o.dtype)
+    alive = jnp.ones((c,), bool)
+    carry = (o, d, time, L, beta, alive)
+    step = jax.checkpoint(partial(_bounce, scene)) if remat \
+        else partial(_bounce, scene)
+    for bounce in range(depth):
+        carry = step(carry, rngu.bounce_key(key, bounce))
+    return carry[3]
+
+
+def _pad_to(x, n):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0)
+
+
+def render_waves(scene, width: int, height: int, key,
+                 wave_start, n_waves: int, depth: int = MAX_DEPTH,
+                 chunk_size: int = 32768, remat: bool = True):
+    """Sum of ``n_waves`` one-sample-per-pixel radiance images, [H,W,3].
+
+    ``wave_start`` may be a traced int — wave w uses fold_in(key, w), so any
+    partition of spp into calls yields the bitwise-identical accumulator
+    (this is what makes checkpoint/resume and spp-sharding exact).
+    """
+    n = width * height
+    n_chunks = -(-n // chunk_size)
+    n_pad = n_chunks * chunk_size
+
+    def one_wave(wave_i):
+        wkey = rngu.wave_key(key, wave_i)
+        o, d, t = cam_ops.camera_rays_for_wave(scene.camera, wkey,
+                                               width, height)
+        # pad with a copy of the last ray (real geometry — keeps NaNs out of
+        # the gradient path; the pad lanes are sliced off below)
+        o, d, t = _pad_to(o, n_pad), _pad_to(d, n_pad), _pad_to(t, n_pad)
+        ck = jax.vmap(jax.random.fold_in, (None, 0))(
+            rngu.stream(wkey, rngu.CHUNK), jnp.arange(n_chunks))
+
+        def chunk_fn(args):
+            oc, dc, tc, kc = args
+            return trace_rays(scene, oc, dc, tc, kc, depth, remat)
+
+        L = lax.map(chunk_fn, (o.reshape(n_chunks, chunk_size, 3),
+                               d.reshape(n_chunks, chunk_size, 3),
+                               t.reshape(n_chunks, chunk_size),
+                               ck))
+        return L.reshape(n_pad, 3)[:n].reshape(height, width, 3)
+
+    def body(acc, i):
+        return acc + one_wave(wave_start + i), None
+
+    acc0 = jnp.zeros((height, width, 3), jnp.float32)
+    if n_waves == 1:
+        return acc0 + one_wave(wave_start)
+    acc, _ = lax.scan(body, acc0, jnp.arange(n_waves))
+    return acc
+
+
+def render_image(scene, width: int, height: int, spp: int, key,
+                 depth: int = MAX_DEPTH, chunk_size: int = 32768,
+                 remat: bool = True):
+    """Mean radiance image [H,W,3] (pre-tonemap), row y=0 at the top of the
+    camera frame; utils.image applies the reference's vertical flip at
+    write time (main.rs:108)."""
+    acc = render_waves(scene, width, height, key, 0, spp, depth,
+                       chunk_size, remat)
+    return acc / spp
