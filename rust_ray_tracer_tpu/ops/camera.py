@@ -74,8 +74,14 @@ def look_at_rh(eye, center, up) -> jnp.ndarray:
 
 
 def transform_point(c2w: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Apply a [3,4] affine to [..., 3] points."""
-    return p @ c2w[:, :3].T + c2w[:, 3]
+    """Apply a [3,4] affine to [..., 3] points.
+
+    Written as broadcast multiply-adds, NOT a matmul: on TPU a [N,3]@[3,3]
+    contraction would ride the MXU at default (bfloat16) precision and
+    quantize ray directions to the bf16 grid; the VPU form is exact f32
+    and fuses into downstream intersection anyway.
+    """
+    return jnp.sum(p[..., None, :] * c2w[:, :3], axis=-1) + c2w[:, 3]
 
 
 def generate_rays(cam: CameraData, x, y, width: int, height: int, time_u):

@@ -84,12 +84,14 @@ def _pad_to(x, n):
 
 def render_waves(scene, width: int, height: int, key,
                  wave_start, n_waves: int, depth: int = MAX_DEPTH,
-                 chunk_size: int = 32768, remat: bool = True):
-    """Sum of ``n_waves`` one-sample-per-pixel radiance images, [H,W,3].
+                 chunk_size: int = 32768, remat: bool = True, acc0=None):
+    """Sum of ``n_waves`` one-sample-per-pixel radiance images added onto
+    ``acc0`` (zeros if None), [H,W,3].
 
-    ``wave_start`` may be a traced int — wave w uses fold_in(key, w), so any
-    partition of spp into calls yields the bitwise-identical accumulator
-    (this is what makes checkpoint/resume and spp-sharding exact).
+    ``wave_start`` may be a traced int — wave w uses fold_in(key, w), so
+    checkpoint/resume is *bitwise exact*: accumulating waves [0,k) and then
+    continuing with ``acc0=partial, wave_start=k`` reproduces the monolithic
+    run's float-add order ``(((w0+w1)+w2)+...)`` exactly.
     """
     n = width * height
     n_chunks = -(-n // chunk_size)
@@ -118,7 +120,8 @@ def render_waves(scene, width: int, height: int, key,
     def body(acc, i):
         return acc + one_wave(wave_start + i), None
 
-    acc0 = jnp.zeros((height, width, 3), jnp.float32)
+    if acc0 is None:
+        acc0 = jnp.zeros((height, width, 3), jnp.float32)
     if n_waves == 1:
         return acc0 + one_wave(wave_start)
     acc, _ = lax.scan(body, acc0, jnp.arange(n_waves))
