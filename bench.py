@@ -1,0 +1,78 @@
+"""Benchmark: forward+backward Mrays/s per chip on the suzanne workload.
+
+North-star metric (BASELINE.json): Mrays/s/chip fwd+bwd at 4 spp on
+suzanne.gltf, depth 4. "Rays" counts wavefront lane-bounces actually
+processed (pixels x spp x depth) — every lane is evaluated every bounce on
+a SIMD machine, dead or alive, so this is the work the chip really does.
+
+``vs_baseline``: the reference publishes no numbers (README is usage-only;
+BASELINE.json "published": {}), and no Rust toolchain exists in this image
+to measure it, so the denominator is a documented ESTIMATE of the Rust
+tracer's CPU throughput: ~60 Mrays/s-equivalent (3.1k-LoC Shirley-style
+recursive tracer on a ~32-core rayon pool; single-core Shirley tracers
+measure ~1-3 Mrays/s on a modern core at depth-4 with BVH over 1k tris).
+
+Prints ONE JSON line: {"metric","value","unit","vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REF_CPU_MRAYS_ESTIMATE = 60.0
+
+WIDTH, HEIGHT, SPP, DEPTH = 512, 288, 4, 4
+
+
+def flagship_scene():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __graft_entry__
+    return __graft_entry__._flagship_scene()
+
+
+def main():
+    from rust_ray_tracer_tpu.models.scene import combine, partition
+    from rust_ray_tracer_tpu.ops.integrator import render_waves
+
+    scene = flagship_scene()
+    diff, static = partition(scene)
+    key = jax.random.PRNGKey(0)
+    chunk = 36864
+
+    def loss_fn(diff, key, wave):
+        img = render_waves(combine(diff, static), WIDTH, HEIGHT, key,
+                           wave, SPP, depth=DEPTH, chunk_size=chunk)
+        return jnp.mean(img)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warmup / compile
+    loss, grads = step(diff, key, 0)
+    jax.block_until_ready((loss, grads))
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        loss, grads = step(diff, key, i * SPP)
+        jax.block_until_ready((loss, grads))
+    dt = (time.perf_counter() - t0) / iters
+
+    rays = WIDTH * HEIGHT * SPP * DEPTH
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "suzanne_fwd_bwd_mrays_per_s_per_chip",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / REF_CPU_MRAYS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,24 +106,33 @@ def generate_rays(cam: CameraData, x, y, width: int, height: int, time_u):
     return origins, direction, times
 
 
-def camera_rays_for_wave(cam: CameraData, key: jax.Array,
-                         width: int, height: int):
-    """One full-image wave of primary rays (one sample per pixel).
+def camera_rays_for_chunk(cam: CameraData, wkey: jax.Array, chunk_id,
+                          chunk_size: int, width: int, height: int):
+    """Primary rays for one chunk of ``chunk_size`` pixels of a sample wave.
 
-    Pixel order is row-major over (y, x); the vertical flip at image write
-    time (main.rs:108) is handled by utils/image.py, not here.
+    Pixel order is row-major over (y, x); chunk ``c`` covers flat pixel ids
+    ``[c*chunk_size, (c+1)*chunk_size)``. Ids past the image (the pad tail
+    of the last chunk) clamp to the last pixel — real geometry, so no NaNs
+    enter the gradient path; callers slice the pad off.
+
+    Randomness (jitter + shutter time) is drawn from keys folded with the
+    *global* chunk id, so any partition of chunks over devices or loop
+    steps yields bitwise-identical rays — this is what makes the sharded
+    renderer exactly equal to the single-chip one. The vertical flip at
+    image write time (main.rs:108) is handled by utils/image.py, not here.
     """
     from rust_ray_tracer_tpu.utils import rng as rngu
 
-    ys = jnp.arange(height, dtype=jnp.float32)
-    xs = jnp.arange(width, dtype=jnp.float32)
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    xx = xx.reshape(-1)
-    yy = yy.reshape(-1)
     n = width * height
-    jit_key = rngu.stream(key, rngu.JITTER)
-    time_key = rngu.stream(key, rngu.TIME)
-    jitter = jax.random.uniform(jit_key, (n, 2), dtype=jnp.float32)
-    time_u = jax.random.uniform(time_key, (n,), dtype=jnp.float32)
-    return generate_rays(cam, xx + jitter[:, 0], yy + jitter[:, 1],
-                         width, height, time_u)
+    pix = chunk_id * chunk_size + jnp.arange(chunk_size)
+    pix = jnp.minimum(pix, n - 1)
+    yy = (pix // width).astype(jnp.float32)
+    xx = (pix % width).astype(jnp.float32)
+    ckey = jax.random.fold_in(wkey, chunk_id)
+    jitter = jax.random.uniform(rngu.stream(ckey, rngu.JITTER),
+                                (chunk_size, 2), dtype=jnp.float32)
+    time_u = jax.random.uniform(rngu.stream(ckey, rngu.TIME),
+                                (chunk_size,), dtype=jnp.float32)
+    o, d, t = generate_rays(cam, xx + jitter[:, 0], yy + jitter[:, 1],
+                            width, height, time_u)
+    return o, d, t, ckey

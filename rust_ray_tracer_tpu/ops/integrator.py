@@ -74,12 +74,20 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     return carry[3]
 
 
-def _pad_to(x, n):
-    pad = n - x.shape[0]
-    if pad == 0:
-        return x
-    return jnp.concatenate(
-        [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0)
+def render_chunk(scene, wkey, chunk_id, chunk_size: int,
+                 width: int, height: int, depth: int = MAX_DEPTH,
+                 remat: bool = True):
+    """Radiance for one global pixel chunk of one sample wave — [C,3].
+
+    The unit of work for both the sequential and the sharded renderer:
+    all randomness is derived from (wave key, global chunk id), so *who*
+    computes a chunk (which device, which loop iteration) never changes
+    its value.
+    """
+    o, d, t, ckey = cam_ops.camera_rays_for_chunk(
+        scene.camera, wkey, chunk_id, chunk_size, width, height)
+    return trace_rays(scene, o, d, t, rngu.stream(ckey, rngu.CHUNK),
+                      depth, remat)
 
 
 def render_waves(scene, width: int, height: int, key,
@@ -99,22 +107,9 @@ def render_waves(scene, width: int, height: int, key,
 
     def one_wave(wave_i):
         wkey = rngu.wave_key(key, wave_i)
-        o, d, t = cam_ops.camera_rays_for_wave(scene.camera, wkey,
-                                               width, height)
-        # pad with a copy of the last ray (real geometry — keeps NaNs out of
-        # the gradient path; the pad lanes are sliced off below)
-        o, d, t = _pad_to(o, n_pad), _pad_to(d, n_pad), _pad_to(t, n_pad)
-        ck = jax.vmap(jax.random.fold_in, (None, 0))(
-            rngu.stream(wkey, rngu.CHUNK), jnp.arange(n_chunks))
-
-        def chunk_fn(args):
-            oc, dc, tc, kc = args
-            return trace_rays(scene, oc, dc, tc, kc, depth, remat)
-
-        L = lax.map(chunk_fn, (o.reshape(n_chunks, chunk_size, 3),
-                               d.reshape(n_chunks, chunk_size, 3),
-                               t.reshape(n_chunks, chunk_size),
-                               ck))
+        L = lax.map(lambda c: render_chunk(scene, wkey, c, chunk_size,
+                                           width, height, depth, remat),
+                    jnp.arange(n_chunks))
         return L.reshape(n_pad, 3)[:n].reshape(height, width, 3)
 
     def body(acc, i):
