@@ -26,6 +26,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: first-compile latency on the tunneled TPU
+# backend is minutes and run-to-run variable; the cache makes repeat
+# bench runs measure the kernel, not the compiler
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REF_CPU_MRAYS_ESTIMATE = 60.0
 
 WIDTH, HEIGHT, SPP, DEPTH = 512, 288, 4, 4

@@ -77,18 +77,23 @@ def _ray_features(o, d):
 
 
 def _tri_coeffs(v0, e1, e2):
-    """[10, T, 4] coefficient tensor for (det, u_num, v_num, t_num)."""
+    """Four [10, T] coefficient matrices (det, u_num, v_num, t_num):
+    each Möller–Trumbore quantity is linear in the ray features
+    [o, d, o×d, 1] (module docstring)."""
     n = jnp.cross(e1, e2)
     z = jnp.zeros_like(v0)
     zs = jnp.zeros(v0.shape[:-1], v0.dtype)
-    ones_coef = jnp.stack([zs, zs, zs, -jnp.sum(v0 * n, axis=-1)], axis=-1)
-    o_coef = jnp.stack([z, z, z, n], axis=-1)            # [T,3,4]
-    d_coef = jnp.stack([-n, -jnp.cross(e2, v0), -jnp.cross(v0, e1), z],
-                       axis=-1)
-    m_coef = jnp.stack([z, e2, -e1, z], axis=-1)
-    return jnp.concatenate(
-        [o_coef, d_coef, m_coef, ones_coef[:, None, :]], axis=1
-    ).transpose(1, 0, 2)                                  # [10, T, 4]
+
+    def col(o_c, d_c, m_c, one_c):
+        # [10, T] from the per-triangle [T,3] blocks + [T] constant
+        return jnp.concatenate(
+            [o_c.T, d_c.T, m_c.T, one_c[None, :]], axis=0)
+
+    det = col(z, -n, z, zs)
+    u_num = col(z, -jnp.cross(e2, v0), e2, zs)
+    v_num = col(z, -jnp.cross(v0, e1), -e1, zs)
+    t_num = col(n, z, z, -jnp.sum(v0 * n, axis=-1))
+    return det, u_num, v_num, t_num
 
 
 def _tri_quants(o, d, v0, e1, e2):
@@ -110,26 +115,38 @@ def _tri_valid(det, u, v, t, double, t_min, t_max):
 
 
 def _tri_candidates(scene, feats, d, t_min, t_max):
-    """[C] best (t, index) over triangles via the MXU matmul."""
-    coeffs = _tri_coeffs(scene.tri_v0, scene.tri_e1, scene.tri_e2)
-    tn = coeffs.shape[1]
-    # [C,10] @ [10, 4T] on the MXU; geometry needs real f32 accumulation.
-    out = lax.dot_general(
-        feats, coeffs.reshape(10, tn * 4),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).reshape(feats.shape[0], tn, 4)
-    det, u_num, v_num, t_num = out[..., 0], out[..., 1], out[..., 2], out[..., 3]
-    inv_det = la.safe_div(1.0, det)
-    u = u_num * inv_det
-    v = v_num * inv_det
-    t = t_num * inv_det
+    """[C] best (t, index) over triangles.
+
+    On TPU the fused Pallas kernel does matmul + epilogue + argmin in
+    VMEM (ops/pallas_intersect.py); elsewhere (CPU tests) the same math
+    runs as plain XLA with materialized [C,T] intermediates.
+    """
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
+    det_c, u_c, v_c, t_c = _tri_coeffs(scene.tri_v0, scene.tri_e1,
+                                       scene.tri_e2)
+    if pk.on_tpu() and not _no_pallas():
+        return pk.tri_search(feats, det_c, u_c, v_c, t_c,
+                             scene.tri_double, t_min, t_max)
+
+    dot = partial(lax.dot_general,
+                  dimension_numbers=(((1,), (0,)), ((), ())),
+                  precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    det = dot(feats, det_c)
+    u = la.safe_div(dot(feats, u_c), det)
+    v = la.safe_div(dot(feats, v_c), det)
+    t = la.safe_div(dot(feats, t_c), det)
     valid = _tri_valid(det, u, v, t, scene.tri_double[None, :],
                        t_min[:, None], t_max[:, None])
     tt = jnp.where(valid, t, INF)
     idx = jnp.argmin(tt, axis=1)
     return jnp.take_along_axis(tt, idx[:, None], axis=1)[:, 0], idx
+
+
+def _no_pallas() -> bool:
+    import os
+    return os.environ.get("RRT_NO_PALLAS", "") == "1"
 
 
 def _sphere_roots(o, d, time, c0, c1, st0, st1, r):

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: fused triangle-intersection candidate search.
+
+The XLA path (ops/intersect._tri_candidates) computes the ``[C,10] @
+[10,4T]`` Plücker contraction, then elementwise u/v/t + validity, then a
+masked argmin — each stage materializing ``[C,T]`` intermediates in HBM.
+At C=32k rays x T=4k triangles that is gigabytes of HBM traffic per
+bounce: the renderer measures HBM-bandwidth-bound at ~2 Mrays/s.
+
+This kernel performs matmul -> epilogue -> running argmin entirely in
+VMEM, one ``[BC, BT]`` tile at a time, writing only ``[C]`` outputs. The
+grid sweeps ray tiles (outer) x triangle tiles (inner); the output block
+index depends only on the ray tile, so Mosaic keeps the running best in
+VMEM across the whole triangle sweep.
+
+Precision: HIGHEST (6-pass bf16 ~= exact f32; Mosaic's dot lowering
+supports only DEFAULT and HIGHEST). The search picks the closest-hit
+*winner*; raw bf16 t-error (~0.4% relative) could select a surface
+behind a nearby one (e.g. the Cornell lamp at y=554 vs the ceiling at
+555 — 0.2% apart), so single-pass bf16 is ruled out.
+
+Used only inside the detached phase-1 search (``stop_gradient``), so no
+custom VJP is needed — gradients flow through the phase-2 recompute
+(ops/intersect.py docstring).
+
+Semantics match ``_tri_candidates`` / the reference exactly
+(triangle.rs:38-69): det eps 1e-5, backface cull unless double-sided,
+u in [0,1], v in [0, 1-u), t in [t_min, t_max], first-hit tie-break on
+equal t (lowest triangle index wins).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TRI_DET_EPS = 1e-5      # triangle.rs:42
+BC = 256                # rays per tile
+BT = 512                # triangles per tile
+
+
+def _kernel(feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
+            tmin_ref, tmax_ref, best_t_ref, best_i_ref):
+    tj = pl.program_id(1)
+
+    @pl.when(tj == 0)
+    def _init():
+        best_t_ref[:] = jnp.full_like(best_t_ref, jnp.inf)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    f = feats_ref[:]                                    # [BC, 10]
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    det = dot(f, det_ref[:])                            # [BC, BT]
+    u_num = dot(f, u_ref[:])
+    v_num = dot(f, v_ref[:])
+    t_num = dot(f, t_ref[:])
+
+    safe = jnp.where(jnp.abs(det) > TRI_DET_EPS, det, 1.0)
+    inv = 1.0 / safe
+    u = u_num * inv
+    v = v_num * inv
+    t = t_num * inv
+
+    dbl = dbl_ref[:]                                    # [1, BT] float
+    tmin = tmin_ref[:]                                  # [BC, 1]
+    tmax = tmax_ref[:]
+    side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS) & (dbl > 0.5))
+    valid = (side_ok & (u >= 0.0) & (u <= 1.0)
+             & (v >= 0.0) & (v < 1.0 - u)
+             & (t >= tmin) & (t <= tmax))
+    tt = jnp.where(valid, t, jnp.inf)                   # [BC, BT]
+
+    loc_t = jnp.min(tt, axis=1, keepdims=True)          # [BC, 1]
+    loc_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None] + tj * BT
+
+    better = loc_t < best_t_ref[:]
+    best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+    best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
+
+
+def _pad_axis(x, mult, axis, value):
+    n = x.shape[axis]
+    target = -(-n // mult) * mult
+    if target == n:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - n)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max):
+    """Best (t, triangle index) per ray over all triangles.
+
+    Args:
+      feats: [C, 10] Plücker ray features.
+      det_c, u_c, v_c, t_c: [10, T] per-component coefficient matrices.
+      double: [T] float (1.0 = double-sided).
+      t_min, t_max: [C].
+
+    Returns (best_t [C] — inf on miss, best_idx [C] int32).
+    """
+    c, t_n = feats.shape[0], det_c.shape[1]
+    feats_p = _pad_axis(feats, BC, 0, 0.0)
+    # pad triangles with zero coefficients -> det == 0 -> never valid
+    det_p = _pad_axis(det_c, BT, 1, 0.0)
+    u_p = _pad_axis(u_c, BT, 1, 0.0)
+    v_p = _pad_axis(v_c, BT, 1, 0.0)
+    t_p = _pad_axis(t_c, BT, 1, 0.0)
+    dbl_p = _pad_axis(double.astype(jnp.float32)[None, :], BT, 1, 0.0)
+    tmin_p = _pad_axis(t_min[:, None], BC, 0, 0.0)
+    tmax_p = _pad_axis(t_max[:, None], BC, 0, -1.0)  # pad rays: t_max < t_min
+
+    cp, tp = feats_p.shape[0], det_p.shape[1]
+    grid = (cp // BC, tp // BT)
+
+    coeff_spec = pl.BlockSpec((10, BT), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+    best_t, best_i = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BC, 10), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            coeff_spec, coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec((1, BT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cp * 10 * 4 * tp, transcendentals=0,
+            bytes_accessed=cp * (10 + 2 + 2) * 4 + 4 * 10 * tp * 4),
+    )(feats_p, det_p, u_p, v_p, t_p, dbl_p, tmin_p, tmax_p)
+
+    return best_t[:c, 0], jnp.minimum(best_i[:c, 0], t_n - 1)
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False

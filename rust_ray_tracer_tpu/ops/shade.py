@@ -72,18 +72,22 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     normal = hit.normal
     unit_d = la.normalize(d_in)
 
-    # ---- random draws (all streams drawn unconditionally, consumed by kind)
-    u_scatter = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 2),
-                                   dtype=f32)
-    g_fuzz = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 4), dtype=f32)
-    u_coin = jax.random.uniform(rngu.stream(key, rngu.COIN), (c,), dtype=f32)
-    g_iso = jax.random.normal(rngu.stream(key, rngu.ISO), (c, 4), dtype=f32)
-    u_mix = jax.random.uniform(rngu.stream(key, rngu.MIX_COIN), (c,),
-                               dtype=f32)
-    u_pick = jax.random.uniform(rngu.stream(key, rngu.LIGHT_PICK), (c,),
-                                dtype=f32)
-    u_light = jax.random.uniform(rngu.stream(key, rngu.LIGHT_SAMPLE), (c, 2),
-                                 dtype=f32)
+    # ---- random draws: all streams drawn unconditionally, consumed by
+    # kind. One uniform block + one normal block instead of seven keyed
+    # draws — each threefry invocation costs a separate hash sweep, and
+    # the per-bounce draw count is fixed, so column slices of a single
+    # block keep the same determinism guarantees (keyed on the same
+    # (wave, chunk, bounce) coordinate).
+    ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 7),
+                            dtype=f32)
+    gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 8), dtype=f32)
+    u_scatter = ub[:, 0:2]
+    u_coin = ub[:, 2]
+    u_mix = ub[:, 3]
+    u_pick = ub[:, 4]
+    u_light = ub[:, 5:7]
+    g_fuzz = gb[:, 0:4]
+    g_iso = gb[:, 4:8]
 
     # =======================================================================
     # Lambertian (material/mod.rs:47-84) + the ray_color mixture
