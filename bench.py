@@ -55,8 +55,12 @@ def main():
     chunk = 36864
 
     def loss_fn(diff, key, wave):
+        # ONE wave per jitted step: the spp loop runs on the host — a
+        # dispatch (~25ms) per wave is noise next to the ~300ms step, and
+        # the compiled program stays 4x smaller (compile on the tunneled
+        # backend costs minutes per extra graph copy)
         img = render_waves(combine(diff, static), WIDTH, HEIGHT, key,
-                           wave, SPP, depth=DEPTH, chunk_size=chunk)
+                           wave, 1, depth=DEPTH, chunk_size=chunk)
         return jnp.mean(img)
 
     step = jax.jit(jax.value_and_grad(loss_fn))
@@ -65,11 +69,12 @@ def main():
     loss, grads = step(diff, key, 0)
     jax.block_until_ready((loss, grads))
 
-    iters = 3
+    iters = 2
     t0 = time.perf_counter()
     for i in range(iters):
-        loss, grads = step(diff, key, i * SPP)
-        jax.block_until_ready((loss, grads))
+        for w in range(SPP):
+            loss, grads = step(diff, key, i * SPP + w)
+            jax.block_until_ready((loss, grads))
     dt = (time.perf_counter() - t0) / iters
 
     rays = WIDTH * HEIGHT * SPP * DEPTH

@@ -56,6 +56,8 @@ LIGHT_NULL = 2       # Hittable defaults: pdf=0, random=(1,0,0)
 
 PERLIN_N = 256       # perlin.rs:6 (const generic N)
 
+CLUSTER = 128        # triangles per culling cluster (one kernel tile)
+
 
 # ---------------------------------------------------------------------------
 # Device-side scene (structure of arrays)
@@ -95,6 +97,14 @@ class SceneData(NamedTuple):
     quad_v: jnp.ndarray       # [Q,3]
     quad_mat: jnp.ndarray     # [Q] int32
     quad_flip: jnp.ndarray    # [Q] bool
+
+    # Triangle clusters: tris are Morton-ordered at compile time so each
+    # consecutive group of CLUSTER tris is spatially compact; per-cluster
+    # AABBs let the intersection kernel skip whole (ray-tile, cluster)
+    # pairs — the TPU-shaped stand-in for BVH traversal (dense compute,
+    # tile-granular culling, no pointer chasing).
+    tri_cluster_min: jnp.ndarray  # [K,3]
+    tri_cluster_max: jnp.ndarray  # [K,3]
 
     # Constant media with sphere boundaries (constant_medium.rs:46-80;
     # every reference use wraps a Sphere).
@@ -591,14 +601,40 @@ def _pad_rows(arrs: dict, multiple: int, pad_values: dict) -> dict:
     return out
 
 
+def _morton_argsort(centroids: np.ndarray) -> np.ndarray:
+    """Morton-curve ordering of [N,3] points (native C++ when available,
+    vectorized NumPy otherwise)."""
+    try:
+        from rust_ray_tracer_tpu.native import morton_sort_native
+        return morton_sort_native(centroids)
+    except Exception:
+        c = np.asarray(centroids, np.float64)
+        mn, mx = c.min(0), c.max(0)
+        span = np.where(mx > mn, mx - mn, 1.0)
+        q = np.clip(((c - mn) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+        def expand(v):
+            v = (v * 0x00010001) & 0xFF0000FF
+            v = (v * 0x00000101) & 0x0F00F00F
+            v = (v * 0x00000011) & 0xC30C30C3
+            v = (v * 0x00000005) & 0x49249249
+            return v
+
+        code = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) \
+            | expand(q[:, 2])
+        return np.argsort(code, kind="stable").astype(np.int32)
+
+
 def compile_scene(scene: Scene, seed: int = 0,
-                  tri_pad: int = 64, pad: int = 8) -> SceneData:
+                  tri_pad: int = CLUSTER, pad: int = 8) -> SceneData:
     """Flatten a host Scene into device arrays.
 
-    Triangles are padded to a multiple of ``tri_pad`` with degenerate
-    (zero-edge) triangles so the intersection matmul tiles cleanly on the
-    MXU; degenerate tris have det == 0 and can never hit. Other kinds pad
-    to ``pad`` with radius-0 spheres / zero-edge quads.
+    Triangles are Morton-sorted (so CLUSTER-sized index ranges are
+    spatially compact) and padded to a multiple of ``tri_pad`` with
+    degenerate zero-edge triangles (det == 0, can never hit) so the
+    intersection matmul tiles cleanly on the MXU; per-cluster AABBs are
+    emitted for kernel-side culling. Other kinds pad to ``pad`` with
+    radius-0 spheres / zero-edge quads.
     """
     b = _Builder()
     b.add(scene.world, _affine(), False)
@@ -637,7 +673,31 @@ def compile_scene(scene: Scene, seed: int = 0,
         double=_stack(b.tris, lambda r: r[4], (), bool),
         flip=_stack(b.tris, lambda r: r[5], (), bool),
     )
+    if len(b.tris) > 1:
+        perm = _morton_argsort(tris["v0"] + (tris["e1"] + tris["e2"]) / 3.0)
+        tris = {k: a[perm] for k, a in tris.items()}
     tris = _pad_rows(tris, tri_pad, {})
+
+    # per-cluster AABBs (padded tris: v0=0 e=0 -> point boxes at the
+    # origin; give them inverted boxes instead so they can't enlarge a
+    # cluster)
+    tn = tris["v0"].shape[0]
+    n_real = len(b.tris)
+    if tn:
+        corners = np.stack([tris["v0"], tris["v0"] + tris["e1"],
+                            tris["v0"] + tris["e2"]], 1)  # [T,3corners,3]
+        lo = corners.min(1)
+        hi = corners.max(1)
+        lo[n_real:] = np.inf
+        hi[n_real:] = -np.inf
+        k = tn // CLUSTER
+        cl_min = lo.reshape(k, CLUSTER, 3).min(1)
+        cl_max = hi.reshape(k, CLUSTER, 3).max(1)
+        # empty clusters (all-pad): keep inverted boxes — the slab test
+        # rejects them for every ray
+    else:
+        cl_min = np.zeros((0, 3), np.float32)
+        cl_max = np.zeros((0, 3), np.float32)
 
     sphs = dict(
         c0=_stack(b.sphs, lambda r: r[0], (3,)),
@@ -713,6 +773,8 @@ def compile_scene(scene: Scene, seed: int = 0,
         tri_v0=j(tris["v0"]), tri_e1=j(tris["e1"]), tri_e2=j(tris["e2"]),
         tri_mat=j(tris["mat"]), tri_double=j(tris["double"]),
         tri_flip=j(tris["flip"]),
+        tri_cluster_min=j(cl_min.astype(np.float32)),
+        tri_cluster_max=j(cl_max.astype(np.float32)),
         sph_c0=j(sphs["c0"]), sph_c1=j(sphs["c1"]), sph_t0=j(sphs["t0"]),
         sph_t1=j(sphs["t1"]), sph_r=j(sphs["r"]), sph_mat=j(sphs["mat"]),
         sph_flip=j(sphs["flip"]),

@@ -44,7 +44,11 @@ def _bounce(scene, carry, bkey):
     if scene.n_media:
         med_u = jax.random.uniform(rngu.stream(bkey, rngu.MEDIUM),
                                    (c, scene.n_media), dtype=o.dtype)
-    hit = intersect(scene, o, d, time, med_u)
+    # dead lanes get a collapsed t-window: they can't hit anything AND the
+    # intersection kernel's cluster cull skips whole all-dead ray tiles —
+    # wavefront compaction without gather/scatter (pallas_intersect.py)
+    t_max = jnp.where(alive, jnp.inf, -1.0)
+    hit = intersect(scene, o, d, time, med_u, t_max=t_max)
 
     miss = alive & ~hit.hit
     L = L + jnp.where(miss[:, None], beta * scene.background, 0.0)
@@ -61,16 +65,26 @@ def _bounce(scene, carry, bkey):
 
 def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
                remat: bool = True):
-    """Trace a chunk of rays to completion. Returns radiance [C,3]."""
+    """Trace a chunk of rays to completion. Returns radiance [C,3].
+
+    Bounces run under ``lax.scan`` so the compiled program contains ONE
+    bounce body regardless of depth — with a Python loop the backward
+    pass inlines depth fwd+bwd copies and compile time on the tunneled
+    TPU backend blows up to many minutes. ``jax.checkpoint`` on the body
+    keeps reverse-mode memory at one bounce.
+    """
     c = o.shape[0]
     L = jnp.zeros((c, 3), o.dtype)
     beta = jnp.ones((c, 3), o.dtype)
     alive = jnp.ones((c,), bool)
-    carry = (o, d, time, L, beta, alive)
+    keys = jax.vmap(partial(rngu.bounce_key, key))(jnp.arange(depth))
     step = jax.checkpoint(partial(_bounce, scene)) if remat \
         else partial(_bounce, scene)
-    for bounce in range(depth):
-        carry = step(carry, rngu.bounce_key(key, bounce))
+
+    def body(carry, bkey):
+        return step(carry, bkey), None
+
+    carry, _ = lax.scan(body, (o, d, time, L, beta, alive), keys)
     return carry[3]
 
 

@@ -114,12 +114,13 @@ def _tri_valid(det, u, v, t, double, t_min, t_max):
             & (t >= t_min) & (t <= t_max))
 
 
-def _tri_candidates(scene, feats, d, t_min, t_max):
+def _tri_candidates(scene, feats, o, d, t_min, t_max):
     """[C] best (t, index) over triangles.
 
     On TPU the fused Pallas kernel does matmul + epilogue + argmin in
-    VMEM (ops/pallas_intersect.py); elsewhere (CPU tests) the same math
-    runs as plain XLA with materialized [C,T] intermediates.
+    VMEM with Morton-cluster culling (ops/pallas_intersect.py); elsewhere
+    (CPU tests) the same math runs as plain XLA with materialized [C,T]
+    intermediates.
     """
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
 
@@ -127,7 +128,8 @@ def _tri_candidates(scene, feats, d, t_min, t_max):
                                        scene.tri_e2)
     if pk.on_tpu() and not _no_pallas():
         return pk.tri_search(feats, det_c, u_c, v_c, t_c,
-                             scene.tri_double, t_min, t_max)
+                             scene.tri_double, t_min, t_max, o, d,
+                             scene.tri_cluster_min, scene.tri_cluster_max)
 
     dot = partial(lax.dot_general,
                   dimension_numbers=(((1,), (0,)), ((), ())),
@@ -347,7 +349,7 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
 
     if scene.n_tris:
         feats = _ray_features(os, ds)
-        t_tri, i_tri = _tri_candidates(scene_s, feats, ds, t_min, t_max)
+        t_tri, i_tri = _tri_candidates(scene_s, feats, os, ds, t_min, t_max)
         consider(KIND_TRI, t_tri, i_tri.astype(jnp.int32))
     if scene.n_spheres:
         t_sph, i_sph = _sph_candidates(scene_s, os, ds, ts, t_min, t_max)

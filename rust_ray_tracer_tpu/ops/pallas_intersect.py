@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused triangle-intersection candidate search.
+"""Pallas TPU kernel: fused, cluster-culled triangle intersection search.
 
 The XLA path (ops/intersect._tri_candidates) computes the ``[C,10] @
 [10,4T]`` Plücker contraction, then elementwise u/v/t + validity, then a
@@ -7,10 +7,22 @@ At C=32k rays x T=4k triangles that is gigabytes of HBM traffic per
 bounce: the renderer measures HBM-bandwidth-bound at ~2 Mrays/s.
 
 This kernel performs matmul -> epilogue -> running argmin entirely in
-VMEM, one ``[BC, BT]`` tile at a time, writing only ``[C]`` outputs. The
-grid sweeps ray tiles (outer) x triangle tiles (inner); the output block
-index depends only on the ray tile, so Mosaic keeps the running best in
-VMEM across the whole triangle sweep.
+VMEM, one ``[BC, CLUSTER]`` tile at a time, writing only ``[C]`` outputs.
+The grid sweeps ray tiles (outer) x triangle clusters (inner); the output
+block index depends only on the ray tile, so Mosaic keeps the running
+best in VMEM across the whole cluster sweep.
+
+**Culling.** Triangles are Morton-ordered at scene compile time
+(models/scene.py), so each CLUSTER-sized index range is spatially compact
+and carries an AABB. A cheap XLA pre-pass slab-tests every (ray, cluster)
+pair, OR-reduces over each BC-ray tile, and hands the kernel a
+``[Ci, K]`` mask; ``@pl.when`` skips the matmuls for masked-out pairs.
+Rays whose ``t_max <= t_min`` (dead wavefront lanes — the integrator
+collapses the window of terminated rays) cull every cluster, so a tile
+whose 256 rays are all dead or all miss the geometry costs four tiny
+matmul skips per cluster and nothing else. This is BVH-flavored work
+avoidance in a shape the TPU likes: dense tiles, tile-granular
+decisions, no pointer chasing, no divergence within a tile.
 
 Precision: HIGHEST (6-pass bf16 ~= exact f32; Mosaic's dot lowering
 supports only DEFAULT and HIGHEST). The search picks the closest-hit
@@ -25,7 +37,8 @@ custom VJP is needed — gradients flow through the phase-2 recompute
 Semantics match ``_tri_candidates`` / the reference exactly
 (triangle.rs:38-69): det eps 1e-5, backface cull unless double-sided,
 u in [0,1], v in [0, 1-u), t in [t_min, t_max], first-hit tie-break on
-equal t (lowest triangle index wins).
+equal t (lowest triangle index wins). The cluster cull is conservative
+(epsilon-margined slab test), so culling never changes the winner.
 """
 
 from __future__ import annotations
@@ -38,13 +51,18 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rust_ray_tracer_tpu.models.scene import CLUSTER
+
 TRI_DET_EPS = 1e-5      # triangle.rs:42
 BC = 256                # rays per tile
-BT = 512                # triangles per tile
+BT = CLUSTER            # triangles per tile == one culling cluster
+
+INTERPRET = False       # tests set True to run the kernel on CPU
 
 
-def _kernel(feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
+def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
             tmin_ref, tmax_ref, best_t_ref, best_i_ref):
+    ti = pl.program_id(0)
     tj = pl.program_id(1)
 
     @pl.when(tj == 0)
@@ -52,37 +70,42 @@ def _kernel(feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
         best_t_ref[:] = jnp.full_like(best_t_ref, jnp.inf)
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
-    f = feats_ref[:]                                    # [BC, 10]
-    dot = functools.partial(jax.lax.dot_general,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-    det = dot(f, det_ref[:])                            # [BC, BT]
-    u_num = dot(f, u_ref[:])
-    v_num = dot(f, v_ref[:])
-    t_num = dot(f, t_ref[:])
+    @pl.when(mask_ref[ti, tj] > 0)
+    def _compute():
+        f = feats_ref[:]                                # [BC, 10]
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        det = dot(f, det_ref[:])                        # [BC, BT]
+        u_num = dot(f, u_ref[:])
+        v_num = dot(f, v_ref[:])
+        t_num = dot(f, t_ref[:])
 
-    safe = jnp.where(jnp.abs(det) > TRI_DET_EPS, det, 1.0)
-    inv = 1.0 / safe
-    u = u_num * inv
-    v = v_num * inv
-    t = t_num * inv
+        safe = jnp.where(jnp.abs(det) > TRI_DET_EPS, det, 1.0)
+        inv = 1.0 / safe
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
 
-    dbl = dbl_ref[:]                                    # [1, BT] float
-    tmin = tmin_ref[:]                                  # [BC, 1]
-    tmax = tmax_ref[:]
-    side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS) & (dbl > 0.5))
-    valid = (side_ok & (u >= 0.0) & (u <= 1.0)
-             & (v >= 0.0) & (v < 1.0 - u)
-             & (t >= tmin) & (t <= tmax))
-    tt = jnp.where(valid, t, jnp.inf)                   # [BC, BT]
+        dbl = dbl_ref[:]                                # [1, BT] float
+        tmin = tmin_ref[:]                              # [BC, 1]
+        tmax = tmax_ref[:]
+        side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS)
+                                         & (dbl > 0.5))
+        valid = (side_ok & (u >= 0.0) & (u <= 1.0)
+                 & (v >= 0.0) & (v < 1.0 - u)
+                 & (t >= tmin) & (t <= tmax))
+        tt = jnp.where(valid, t, jnp.inf)               # [BC, BT]
 
-    loc_t = jnp.min(tt, axis=1, keepdims=True)          # [BC, 1]
-    loc_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None] + tj * BT
+        loc_t = jnp.min(tt, axis=1, keepdims=True)      # [BC, 1]
+        loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
+                 + tj * BT)
 
-    better = loc_t < best_t_ref[:]
-    best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
-    best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
+        better = loc_t < best_t_ref[:]
+        best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+        best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
 
 
 def _pad_axis(x, mult, axis, value):
@@ -95,8 +118,39 @@ def _pad_axis(x, mult, axis, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max):
+def _tile_cluster_mask(o, d, cl_min, cl_max, t_min, t_max):
+    """[Ci, K] int32: does ANY ray of tile i possibly hit cluster k?
+
+    Conservative slab test on unnormalized rays; axes with |d| ~ 0 fall
+    back to an origin-inside-slab check. Rays with a collapsed t-window
+    (t_max <= t_min — dead lanes) hit nothing.
+    """
+    eps = 1e-3
+    o_ = o[:, None, :]                       # [C,1,3]
+    d_ = d[:, None, :]
+    small = jnp.abs(d_) < 1e-12
+    inv = 1.0 / jnp.where(small, 1.0, d_)
+    lo = (cl_min[None] - eps - o_) * inv     # [C,K,3]
+    hi = (cl_max[None] + eps - o_) * inv
+    tlo = jnp.minimum(lo, hi)
+    thi = jnp.maximum(lo, hi)
+    # ignore degenerate axes in the interval intersection
+    tlo = jnp.where(small, -jnp.inf, tlo)
+    thi = jnp.where(small, jnp.inf, thi)
+    enter = jnp.max(tlo, axis=-1)
+    exit_ = jnp.min(thi, axis=-1)
+    par_ok = jnp.all(
+        ~small | ((o_ >= cl_min[None] - eps) & (o_ <= cl_max[None] + eps)),
+        axis=-1)
+    window = (t_max > t_min)[:, None]
+    hit = (par_ok & (enter <= exit_) & (exit_ >= t_min[:, None])
+           & (enter <= t_max[:, None]) & window)
+    ci = o.shape[0] // BC
+    return jnp.any(hit.reshape(ci, BC, -1), axis=1).astype(jnp.int32)
+
+
+def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max,
+               o, d, cl_min, cl_max):
     """Best (t, triangle index) per ray over all triangles.
 
     Args:
@@ -104,6 +158,8 @@ def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max):
       det_c, u_c, v_c, t_c: [10, T] per-component coefficient matrices.
       double: [T] float (1.0 = double-sided).
       t_min, t_max: [C].
+      o, d: [C,3] rays (for the culling pre-pass).
+      cl_min, cl_max: [T/CLUSTER, 3] cluster AABBs (inverted = empty).
 
     Returns (best_t [C] — inf on miss, best_idx [C] int32).
     """
@@ -116,33 +172,39 @@ def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max):
     t_p = _pad_axis(t_c, BT, 1, 0.0)
     dbl_p = _pad_axis(double.astype(jnp.float32)[None, :], BT, 1, 0.0)
     tmin_p = _pad_axis(t_min[:, None], BC, 0, 0.0)
-    tmax_p = _pad_axis(t_max[:, None], BC, 0, -1.0)  # pad rays: t_max < t_min
+    tmax_p = _pad_axis(t_max[:, None], BC, 0, -1.0)  # pad rays: no window
+    o_p = _pad_axis(o, BC, 0, 0.0)
+    d_p = _pad_axis(d, BC, 0, 0.0)
 
     cp, tp = feats_p.shape[0], det_p.shape[1]
-    grid = (cp // BC, tp // BT)
+    k = tp // BT
+    assert cl_min.shape[0] == k, (cl_min.shape, k)
+    grid = (cp // BC, k)
+
+    mask = _tile_cluster_mask(
+        o_p, d_p, cl_min, cl_max,
+        tmin_p[:, 0], jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0]))
 
     coeff_spec = pl.BlockSpec((10, BT), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
     best_t, best_i = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
+            # whole [Ci, K] mask in SMEM (tiny); indexed by program ids —
+            # Mosaic forbids (1,1) blocking of SMEM operands
+            pl.BlockSpec(mask.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((BC, 10), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             coeff_spec, coeff_spec, coeff_spec, coeff_spec,
             pl.BlockSpec((1, BT), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            ray_spec, ray_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((cp, 1), jnp.float32),
             jax.ShapeDtypeStruct((cp, 1), jnp.int32),
@@ -150,7 +212,8 @@ def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max):
         cost_estimate=pl.CostEstimate(
             flops=2 * cp * 10 * 4 * tp, transcendentals=0,
             bytes_accessed=cp * (10 + 2 + 2) * 4 + 4 * 10 * tp * 4),
-    )(feats_p, det_p, u_p, v_p, t_p, dbl_p, tmin_p, tmax_p)
+        interpret=INTERPRET,
+    )(mask, feats_p, det_p, u_p, v_p, t_p, dbl_p, tmin_p, tmax_p)
 
     return best_t[:c, 0], jnp.minimum(best_i[:c, 0], t_n - 1)
 

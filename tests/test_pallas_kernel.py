@@ -1,0 +1,143 @@
+"""Pallas intersection kernel vs the XLA reference path (interpret mode on
+CPU; the same comparison runs on real TPU hardware in verification)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rust_ray_tracer_tpu.models import scene as S
+from rust_ray_tracer_tpu.models.scene import CLUSTER, compile_scene
+from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+from rust_ray_tracer_tpu.ops.camera import make_camera
+from rust_ray_tracer_tpu.ops.intersect import (
+    _ray_features, _tri_coeffs, _tri_valid, INF)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pk.INTERPRET = True
+    yield
+    pk.INTERPRET = False
+
+
+def make_tris(n, seed=0):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+    dbl = (rng.random(n) < 0.3)
+    return v0, e1, e2, dbl
+
+
+def xla_reference(v0, e1, e2, dbl, o, d, t_min, t_max):
+    feats = _ray_features(o, d)
+    det_c, u_c, v_c, t_c = _tri_coeffs(v0, e1, e2)
+    det = feats @ det_c
+    u = np.where(np.abs(det) > 0, (feats @ u_c) / np.where(det == 0, 1, det),
+                 0)
+    v = np.where(np.abs(det) > 0, (feats @ v_c) / np.where(det == 0, 1, det),
+                 0)
+    t = np.where(np.abs(det) > 0, (feats @ t_c) / np.where(det == 0, 1, det),
+                 0)
+    valid = np.asarray(_tri_valid(jnp.asarray(det), jnp.asarray(u),
+                                  jnp.asarray(v), jnp.asarray(t),
+                                  jnp.asarray(dbl)[None, :],
+                                  jnp.asarray(t_min)[:, None],
+                                  jnp.asarray(t_max)[:, None]))
+    tt = np.where(valid, t, np.inf)
+    idx = tt.argmin(1)
+    return tt[np.arange(len(idx)), idx], idx
+
+
+def cluster_boxes(v0, e1, e2, n_real):
+    corners = np.stack([v0, v0 + e1, v0 + e2], 1)
+    lo, hi = corners.min(1), corners.max(1)
+    lo[n_real:] = np.inf
+    hi[n_real:] = -np.inf
+    k = v0.shape[0] // CLUSTER
+    return (lo.reshape(k, CLUSTER, 3).min(1),
+            hi.reshape(k, CLUSTER, 3).max(1))
+
+
+@pytest.mark.parametrize("n_tris,n_rays", [(CLUSTER, 64), (3 * CLUSTER, 300)])
+def test_kernel_matches_xla(n_tris, n_rays):
+    v0, e1, e2, dbl = make_tris(n_tris)
+    rng = np.random.default_rng(1)
+    o = rng.uniform(-4, 4, (n_rays, 3)).astype(np.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    t_min = np.full(n_rays, 1e-4, np.float32)
+    t_max = np.full(n_rays, np.inf, np.float32)
+
+    ref_t, ref_i = xla_reference(v0, e1, e2, dbl, o, d, t_min, t_max)
+    det_c, u_c, v_c, t_c = _tri_coeffs(jnp.asarray(v0), jnp.asarray(e1),
+                                       jnp.asarray(e2))
+    cl_min, cl_max = cluster_boxes(v0, e1, e2, n_tris)
+    got_t, got_i = pk.tri_search(
+        _ray_features(jnp.asarray(o), jnp.asarray(d)), det_c, u_c, v_c,
+        t_c, jnp.asarray(dbl), jnp.asarray(t_min), jnp.asarray(t_max),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cl_min),
+        jnp.asarray(cl_max))
+    got_t, got_i = np.asarray(got_t), np.asarray(got_i)
+
+    hit_ref = np.isfinite(ref_t)
+    hit_got = np.isfinite(got_t)
+    np.testing.assert_array_equal(hit_ref, hit_got)
+    np.testing.assert_allclose(got_t[hit_got], ref_t[hit_ref], rtol=1e-5)
+    np.testing.assert_array_equal(got_i[hit_got], ref_i[hit_ref])
+
+
+def test_dead_rays_hit_nothing():
+    v0, e1, e2, dbl = make_tris(CLUSTER)
+    n = 32
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile([0, 0, -1.0], (n, 1)).astype(np.float32)
+    t_min = np.full(n, 1e-4, np.float32)
+    t_max = np.full(n, -1.0, np.float32)   # collapsed window = dead
+    det_c, u_c, v_c, t_c = _tri_coeffs(*map(jnp.asarray, (v0, e1, e2)))
+    cl_min, cl_max = cluster_boxes(v0, e1, e2, CLUSTER)
+    got_t, _ = pk.tri_search(
+        _ray_features(jnp.asarray(o), jnp.asarray(d)), det_c, u_c, v_c,
+        t_c, jnp.asarray(dbl), jnp.asarray(t_min), jnp.asarray(t_max),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cl_min),
+        jnp.asarray(cl_max))
+    assert not np.isfinite(np.asarray(got_t)).any()
+
+
+def test_cull_is_conservative_through_integrator():
+    """End-to-end: a triangle scene rendered via the full intersect path
+    on CPU (XLA) must agree with the kernel run in interpret mode."""
+    import os
+
+    from rust_ray_tracer_tpu.ops.intersect import intersect
+
+    world = [S.Triangle(*t) for t in [
+        ((-1, -1, -4), (1, -1, -4), (0, 1, -4),
+         S.Lambertian.from_rgb(1, 0, 0)),
+        ((2, -1, -6), (4, -1, -6), (3, 1, -6),
+         S.Lambertian.from_rgb(0, 1, 0)),
+    ]]
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)))
+    rng = np.random.default_rng(3)
+    o = jnp.asarray(rng.uniform(-2, 2, (128, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((128, 3)), jnp.float32)
+    tt = jnp.zeros(128)
+
+    h_xla = intersect(sd, o, d, tt)
+
+    import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
+
+    real_on_tpu = pkm.on_tpu
+    pkm.on_tpu = lambda: True     # force kernel path (interpret mode)
+    try:
+        h_k = intersect(sd, o, d, tt)
+    finally:
+        pkm.on_tpu = real_on_tpu
+
+    np.testing.assert_array_equal(np.asarray(h_xla.hit), np.asarray(h_k.hit))
+    m = np.asarray(h_xla.hit)
+    np.testing.assert_allclose(np.asarray(h_xla.t)[m],
+                               np.asarray(h_k.t)[m], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(h_xla.mat)[m],
+                                  np.asarray(h_k.mat)[m])
