@@ -45,16 +45,53 @@ _COMP_DTYPE = {
 _TYPE_COUNT = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
 
 
-def _load_buffers(doc: dict, base_dir: str):
+def _load_buffers(doc: dict, base_dir: str, bin_chunk=None):
     out = []
     for buf in doc.get("buffers", []):
-        uri = buf.get("uri", "")
-        if uri.startswith("data:"):
+        uri = buf.get("uri")
+        if uri is None:
+            # GLB: uri-less buffer refers to the binary chunk
+            if bin_chunk is None:
+                raise ValueError("buffer without uri outside a GLB file")
+            out.append(bin_chunk)
+        elif uri.startswith("data:"):
             out.append(base64.b64decode(uri.split(",", 1)[1]))
         else:
             with open(os.path.join(base_dir, uri), "rb") as f:
                 out.append(f.read())
     return out
+
+
+def _read_document(path: str):
+    """Parse .gltf (JSON) or .glb (binary container) -> (doc, bin_chunk).
+
+    GLB support is an extension over the reference importer (which reads
+    JSON only, gltf.rs:108-116)."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head != b"glTF":
+            f.seek(0)
+            return json.load(f), None
+        version, _length = struct.unpack("<II", f.read(8))
+        if version != 2:
+            raise ValueError(f"unsupported GLB version {version}")
+        doc = None
+        bin_chunk = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            clen, ctype = struct.unpack("<I4s", hdr)
+            data = f.read(clen)
+            if ctype == b"JSON":
+                doc = json.loads(data)
+            elif ctype == b"BIN\x00":
+                bin_chunk = data
+        if doc is None:
+            raise ValueError("GLB missing JSON chunk")
+        return doc, bin_chunk
 
 
 def _accessor(doc, buffers, idx: int) -> np.ndarray:
@@ -119,10 +156,9 @@ def _material(doc, idx) -> S.Material:
 
 def load_gltf_scene(path: str, default_camera_aspect: float = 1.0) -> S.Scene:
     """Parse a .gltf file into a host Scene (camera, world, lights, bg)."""
-    with open(path) as f:
-        doc = json.load(f)
+    doc, bin_chunk = _read_document(path)
     base_dir = os.path.dirname(os.path.abspath(path))
-    buffers = _load_buffers(doc, base_dir)
+    buffers = _load_buffers(doc, base_dir, bin_chunk)
 
     # materials are shared objects so compile_scene dedupes them by identity
     materials = [_material(doc, i)

@@ -242,6 +242,12 @@ class ImageTexture:
                              np.float32) / 255.0
             return img
         except Exception:
+            pass
+        try:  # self-contained PNG fallback (utils/image.py decoder)
+            from rust_ray_tracer_tpu.utils.image import decode_png
+            with open(self.path, "rb") as f:
+                return np.asarray(decode_png(f.read()), np.float32) / 255.0
+        except Exception:
             return None
 
 

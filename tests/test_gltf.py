@@ -143,3 +143,43 @@ def test_names_containing_type_are_safe(tmp_path):
     p.write_text(json.dumps(doc))
     sc = load_gltf_scene(str(p))   # must not raise
     assert sc.world == []
+
+
+def test_glb_binary_container(tmp_path):
+    """GLB (binary glTF) round trip — an extension over the reference
+    importer (JSON only)."""
+    import json as _json
+    import struct
+
+    verts = struct.pack("<9f", 0, 0, 0, 1, 0, 0, 0, 1, 0)
+    idx = struct.pack("<3H", 0, 1, 2) + b"\x00\x00"  # pad to 4
+    binc = verts + idx
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(binc)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    j = _json.dumps(doc).encode()
+    j += b" " * (-len(j) % 4)
+    glb = (b"glTF" + struct.pack("<II", 2, 12 + 8 + len(j) + 8 + len(binc))
+           + struct.pack("<I4s", len(j), b"JSON") + j
+           + struct.pack("<I4s", len(binc), b"BIN\x00") + binc)
+    p = tmp_path / "tri.glb"
+    p.write_bytes(glb)
+    sc = load_gltf_scene(str(p))
+    tris = [o for o in sc.world if isinstance(o, S.Triangle)]
+    assert len(tris) == 1
+    np.testing.assert_allclose(np.asarray(tris[0].v0, np.float32),
+                               [0, 0, 0], atol=1e-6)
