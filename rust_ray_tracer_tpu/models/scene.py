@@ -106,6 +106,15 @@ class SceneData(NamedTuple):
     tri_cluster_min: jnp.ndarray  # [K,3]
     tri_cluster_max: jnp.ndarray  # [K,3]
 
+    # Sphere clusters (same design as triangle clusters; boxes swept over
+    # the motion-blur time range).
+    sph_cluster_min: jnp.ndarray  # [Ks,3]
+    sph_cluster_max: jnp.ndarray  # [Ks,3]
+
+    # Quad clusters.
+    quad_cluster_min: jnp.ndarray  # [Kq,3]
+    quad_cluster_max: jnp.ndarray  # [Kq,3]
+
     # Constant media with sphere boundaries (constant_medium.rs:46-80;
     # every reference use wraps a Sphere).
     med_c: jnp.ndarray        # [M,3]
@@ -714,7 +723,31 @@ def compile_scene(scene: Scene, seed: int = 0,
         mat=_stack(b.sphs, lambda r: r[5], (), np.int32),
         flip=_stack(b.sphs, lambda r: r[6], (), bool),
     )
-    sphs = _pad_rows(sphs, pad, {"t1": 1.0})
+    if len(b.sphs) > 1:
+        sperm = _morton_argsort((sphs["c0"] + sphs["c1"]) * 0.5)
+        sphs = {k: a[sperm] for k, a in sphs.items()}
+    # spheres pad to CLUSTER when the Pallas sphere kernel would engage
+    # (more than one cluster's worth); tiny counts keep the cheap pad
+    sph_pad = pad if len(b.sphs) <= CLUSTER else CLUSTER
+    sphs = _pad_rows(sphs, sph_pad, {"t1": 1.0})
+
+    sn = sphs["c0"].shape[0]
+    ns_real = len(b.sphs)
+    if sn:
+        lo = np.minimum(sphs["c0"], sphs["c1"]) - sphs["r"][:, None]
+        hi = np.maximum(sphs["c0"], sphs["c1"]) + sphs["r"][:, None]
+        lo[ns_real:] = np.inf
+        hi[ns_real:] = -np.inf
+        ks = -(-sn // CLUSTER)
+        pad_rows = ks * CLUSTER - sn
+        if pad_rows:
+            lo = np.concatenate([lo, np.full((pad_rows, 3), np.inf)], 0)
+            hi = np.concatenate([hi, np.full((pad_rows, 3), -np.inf)], 0)
+        s_cl_min = lo.reshape(ks, CLUSTER, 3).min(1)
+        s_cl_max = hi.reshape(ks, CLUSTER, 3).max(1)
+    else:
+        s_cl_min = np.zeros((0, 3), np.float32)
+        s_cl_max = np.zeros((0, 3), np.float32)
 
     quads = dict(
         q=_stack(b.quads, lambda r: r[0], (3,)),
@@ -723,7 +756,32 @@ def compile_scene(scene: Scene, seed: int = 0,
         mat=_stack(b.quads, lambda r: r[3], (), np.int32),
         flip=_stack(b.quads, lambda r: r[4], (), bool),
     )
-    quads = _pad_rows(quads, pad, {})
+    if len(b.quads) > 1:
+        qperm = _morton_argsort(
+            quads["q"] + 0.5 * (quads["u"] + quads["v"]))
+        quads = {k: a[qperm] for k, a in quads.items()}
+    quads = _pad_rows(quads, pad if len(b.quads) <= CLUSTER else CLUSTER,
+                      {})
+
+    qn = quads["q"].shape[0]
+    nq_real = len(b.quads)
+    if qn:
+        qc = np.stack([quads["q"], quads["q"] + quads["u"],
+                       quads["q"] + quads["v"],
+                       quads["q"] + quads["u"] + quads["v"]], 1)
+        qlo, qhi = qc.min(1), qc.max(1)
+        qlo[nq_real:] = np.inf
+        qhi[nq_real:] = -np.inf
+        kq = -(-qn // CLUSTER)
+        padq = kq * CLUSTER - qn
+        if padq:
+            qlo = np.concatenate([qlo, np.full((padq, 3), np.inf)], 0)
+            qhi = np.concatenate([qhi, np.full((padq, 3), -np.inf)], 0)
+        q_cl_min = qlo.reshape(kq, CLUSTER, 3).min(1)
+        q_cl_max = qhi.reshape(kq, CLUSTER, 3).max(1)
+    else:
+        q_cl_min = np.zeros((0, 3), np.float32)
+        q_cl_max = np.zeros((0, 3), np.float32)
 
     meds = dict(
         c=_stack(b.media, lambda r: r[0], (3,)),
@@ -784,8 +842,12 @@ def compile_scene(scene: Scene, seed: int = 0,
         sph_c0=j(sphs["c0"]), sph_c1=j(sphs["c1"]), sph_t0=j(sphs["t0"]),
         sph_t1=j(sphs["t1"]), sph_r=j(sphs["r"]), sph_mat=j(sphs["mat"]),
         sph_flip=j(sphs["flip"]),
+        sph_cluster_min=j(s_cl_min.astype(np.float32)),
+        sph_cluster_max=j(s_cl_max.astype(np.float32)),
         quad_q=j(quads["q"]), quad_u=j(quads["u"]), quad_v=j(quads["v"]),
         quad_mat=j(quads["mat"]), quad_flip=j(quads["flip"]),
+        quad_cluster_min=j(q_cl_min.astype(np.float32)),
+        quad_cluster_max=j(q_cl_max.astype(np.float32)),
         med_c=j(meds["c"]), med_r=j(meds["r"]), med_neg_inv_d=j(meds["nid"]),
         med_mat=j(meds["mat"]),
         mat_kind=j(mfield("kind", 0, np.int32)),

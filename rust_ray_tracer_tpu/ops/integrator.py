@@ -78,8 +78,14 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     beta = jnp.ones((c, 3), o.dtype)
     alive = jnp.ones((c,), bool)
     keys = jax.vmap(partial(rngu.bounce_key, key))(jnp.arange(depth))
-    step = jax.checkpoint(partial(_bounce, scene)) if remat \
-        else partial(_bounce, scene)
+    if remat:
+        # save the [C]-sized detached intersection *selection* per bounce
+        # (see ops/intersect.py): backward recomputes shading but never
+        # the candidate-search kernels
+        policy = jax.checkpoint_policies.save_only_these_names("isect_sel")
+        step = jax.checkpoint(partial(_bounce, scene), policy=policy)
+    else:
+        step = partial(_bounce, scene)
 
     def body(carry, bkey):
         return step(carry, bkey), None

@@ -170,6 +170,17 @@ def _sphere_roots(o, d, time, c0, c1, st0, st1, r):
 
 
 def _sph_candidates(scene, o, d, time, t_min, t_max):
+    from rust_ray_tracer_tpu.models.scene import CLUSTER
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
+    # kernel pays only at cluster scale; for a handful of spheres
+    # (suzanne: one light) the fused XLA form is faster than the extra
+    # dispatch + mask pre-pass (measured: 63ms -> 109ms per wave when
+    # always-on)
+    if (scene.n_spheres >= CLUSTER and pk.on_tpu() and not _no_pallas()):
+        from rust_ray_tracer_tpu.ops.pallas_sphere import sph_search
+        return sph_search(scene, o, d, time, t_min, t_max)
+
     root1, root2, ok, _c = _sphere_roots(
         o[:, None, :], d[:, None, :], time[:, None],
         scene.sph_c0[None], scene.sph_c1[None],
@@ -196,6 +207,13 @@ def _quad_quants(o, d, q, u_e, v_e):
 
 
 def _quad_candidates(scene, o, d, t_min, t_max):
+    from rust_ray_tracer_tpu.models.scene import CLUSTER
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
+    if (scene.n_quads >= CLUSTER and pk.on_tpu() and not _no_pallas()):
+        from rust_ray_tracer_tpu.ops.pallas_quad import quad_search
+        return quad_search(scene, o, d, t_min, t_max)
+
     t, alpha, beta, n, denom, _p = _quad_quants(
         o[:, None, :], d[:, None, :],
         scene.quad_q[None], scene.quad_u[None], scene.quad_v[None])
@@ -370,6 +388,16 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
 
     hit_mask = jnp.isfinite(best_t)
     best_kind = jnp.where(hit_mask, best_kind, KIND_NONE)
+
+    # Tag the (detached, [C]-sized) selection as named rematerialization
+    # residuals: under jax.checkpoint(policy=save_only_these_names(
+    # 'isect_sel')) the backward pass re-runs only the cheap phase-2
+    # recompute and NEVER the candidate-search kernels. Saving these
+    # changes no values — phase 1 is deterministic and detached.
+    from jax.ad_checkpoint import checkpoint_name
+    best_kind = checkpoint_name(best_kind, "isect_sel")
+    best_idx = checkpoint_name(best_idx, "isect_sel")
+    hit_mask = checkpoint_name(hit_mask, "isect_sel")
 
     # ---- phase 2: differentiable recompute of the winner ----
     t = jnp.full((c,), INF)
