@@ -52,7 +52,7 @@ def main():
     scene = flagship_scene()
     diff, static = partition(scene)
     key = jax.random.PRNGKey(0)
-    chunk = 36864
+    chunk = 9216
 
     def loss_fn(diff, key, wave):
         # ONE wave per jitted step: the spp loop runs on the host — a

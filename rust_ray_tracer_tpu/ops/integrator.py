@@ -37,30 +37,41 @@ MAX_DEPTH = 4  # main.rs:56
 
 
 def _bounce(scene, carry, bkey):
-    """One wavefront bounce: intersect + shade + state update."""
-    o, d, time, L, beta, alive = carry
-    c = o.shape[0]
-    med_u = None
-    if scene.n_media:
-        med_u = jax.random.uniform(rngu.stream(bkey, rngu.MEDIUM),
-                                   (c, scene.n_media), dtype=o.dtype)
-    # dead lanes get a collapsed t-window: they can't hit anything AND the
-    # intersection kernel's cluster cull skips whole all-dead ray tiles —
-    # wavefront compaction without gather/scatter (pallas_intersect.py)
-    t_max = jnp.where(alive, jnp.inf, -1.0)
-    hit = intersect(scene, o, d, time, med_u, t_max=t_max)
+    """One wavefront bounce: intersect + shade + state update.
 
-    miss = alive & ~hit.hit
-    L = L + jnp.where(miss[:, None], beta * scene.background, 0.0)
+    The whole bounce is guarded by ``lax.cond(any(alive))``: a chunk whose
+    lanes have ALL terminated skips intersection, shading and RNG for the
+    remaining bounces entirely (every state update is alive-masked, so
+    the identity branch is exact). Within a live chunk, dead lanes are
+    still culled at tile granularity by the intersection kernels.
+    """
 
-    live = alive & hit.hit
-    sc = shade(scene, bkey, d, time, hit)
-    L = L + jnp.where(live[:, None], beta * sc.emitted, 0.0)
-    beta = jnp.where(live[:, None], beta * sc.weight, beta)
-    alive = live & sc.alive
-    o = jnp.where(alive[:, None], hit.p, o)
-    d = jnp.where(alive[:, None], sc.direction, d)
-    return o, d, time, L, beta, alive
+    def run(carry):
+        o, d, time, L, beta, alive = carry
+        c = o.shape[0]
+        med_u = None
+        if scene.n_media:
+            med_u = jax.random.uniform(rngu.stream(bkey, rngu.MEDIUM),
+                                       (c, scene.n_media), dtype=o.dtype)
+        # dead lanes get a collapsed t-window: they can't hit anything AND
+        # the intersection kernels' cluster cull skips all-dead ray tiles —
+        # wavefront compaction without gather/scatter (pallas_intersect.py)
+        t_max = jnp.where(alive, jnp.inf, -1.0)
+        hit = intersect(scene, o, d, time, med_u, t_max=t_max)
+
+        miss = alive & ~hit.hit
+        L = L + jnp.where(miss[:, None], beta * scene.background, 0.0)
+
+        live = alive & hit.hit
+        sc = shade(scene, bkey, d, time, hit)
+        L = L + jnp.where(live[:, None], beta * sc.emitted, 0.0)
+        beta = jnp.where(live[:, None], beta * sc.weight, beta)
+        alive2 = live & sc.alive
+        o = jnp.where(alive2[:, None], hit.p, o)
+        d = jnp.where(alive2[:, None], sc.direction, d)
+        return o, d, time, L, beta, alive2
+
+    return lax.cond(jnp.any(carry[5]), run, lambda c: c, carry)
 
 
 def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,

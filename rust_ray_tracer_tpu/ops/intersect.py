@@ -263,9 +263,13 @@ def _flip_normal(normal, flip):
 
 
 def _tri_attrs(scene, o, d, idx, t_min, t_max):
-    v0 = scene.tri_v0[idx]
-    e1 = scene.tri_e1[idx]
-    e2 = scene.tri_e2[idx]
+    # ONE gather of a packed [T,9] view instead of three: transposes to a
+    # single scatter-add in the backward pass (TPU scatters are the
+    # dominant cost of the remat backward; the concat itself is tiny and
+    # its transpose is a free split)
+    pack = jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2],
+                           axis=1)[idx]
+    v0, e1, e2 = pack[:, 0:3], pack[:, 3:6], pack[:, 6:9]
     det, u_num, v_num, t_num, n = _tri_quants(o, d, v0, e1, e2)
     inv_det = la.safe_div(1.0, det)
     t = t_num * inv_det
@@ -285,13 +289,16 @@ def _sphere_uv(p_unit):
 
 
 def _sph_attrs(scene, o, d, time, idx, t_min, t_max):
+    pack = jnp.concatenate(
+        [scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
+         scene.sph_t1[:, None], scene.sph_r[:, None]], axis=1)[idx]
     root1, root2, ok, c = _sphere_roots(
-        o, d, time, scene.sph_c0[idx], scene.sph_c1[idx],
-        scene.sph_t0[idx], scene.sph_t1[idx], scene.sph_r[idx])
+        o, d, time, pack[:, 0:3], pack[:, 3:6],
+        pack[:, 6], pack[:, 7], pack[:, 8])
     ok1 = ok & (root1 >= t_min) & (root1 <= t_max)
     t = jnp.where(ok1, root1, root2)
     p = o + t[..., None] * d
-    r = scene.sph_r[idx]
+    r = pack[:, 8]
     normal = (p - c) / jnp.maximum(r, 1e-20)[..., None]
     # UV quirk: near root uses the unit normal, far root uses world p
     # (sphere.rs:66-69 vs 80-82).
@@ -302,9 +309,9 @@ def _sph_attrs(scene, o, d, time, idx, t_min, t_max):
 
 
 def _quad_attrs(scene, o, d, idx, t_min, t_max):
-    q = scene.quad_q[idx]
-    u_e = scene.quad_u[idx]
-    v_e = scene.quad_v[idx]
+    pack = jnp.concatenate([scene.quad_q, scene.quad_u, scene.quad_v],
+                           axis=1)[idx]
+    q, u_e, v_e = pack[:, 0:3], pack[:, 3:6], pack[:, 6:9]
     t, alpha, beta, n, denom, p = _quad_quants(o, d, q, u_e, v_e)
     n_hat = la.normalize(n)
     # normal faces against the incoming ray == the reference's

@@ -68,6 +68,8 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     f32 = d_in.dtype
     kind = scene.mat_kind[hit.mat]
     tex = scene.mat_tex[hit.mat]
+    # one packed float gather (-> one scatter-add in backward)
+    mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[hit.mat]
     albedo = texture_value(scene, tex, hit.u, hit.v, hit.p)
     normal = hit.normal
     unit_d = la.normalize(d_in)
@@ -114,7 +116,7 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # Metal (material/mod.rs:86-108)
     # =======================================================================
     reflected = la.reflect(unit_d, normal)
-    fuzz = scene.mat_fuzz[hit.mat]
+    fuzz = mat_pack[:, 0]
     fuzz_vec = lax.stop_gradient(
         sampling.uniform_in_ball(g_fuzz[:, :3], g_fuzz[:, 3]))
     metal_dir = reflected + fuzz[:, None] * fuzz_vec
@@ -123,7 +125,7 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # =======================================================================
     # Dielectric (material/mod.rs:110-148)
     # =======================================================================
-    ior = scene.mat_ior[hit.mat]
+    ior = mat_pack[:, 1]
     exiting = la.dot(d_in, normal) > 0.0
     ratio = jnp.where(exiting, ior, 1.0 / ior)
     n_orient = jnp.where(exiting[:, None], -normal, normal)
