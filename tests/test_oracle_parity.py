@@ -1,0 +1,104 @@
+"""Wavefront renderer vs the independent recursive NumPy oracle.
+
+Both implement the reference estimator (ray.rs:78-127) with independent
+code and independent RNG; their *mean* images must agree within
+Monte-Carlo bounds. This is the recursion->iteration fidelity check
+(SURVEY.md §7 hard part 4) and the statistical stand-in for the
+unseeded-reference golden-image tests (SURVEY.md §4).
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from rust_ray_tracer_tpu.models import scene as S
+from rust_ray_tracer_tpu.models.scene import compile_scene
+from rust_ray_tracer_tpu.ops.camera import make_camera
+from rust_ray_tracer_tpu.ops.integrator import render_image
+
+from tests.oracle import render_oracle
+
+W, H, SPP, DEPTH = 16, 12, 48, 4
+
+
+def compare(sd, atol, spp=SPP, depth=DEPTH):
+    c2w = np.asarray(sd.camera.c2w)
+    ours = np.asarray(render_image(sd, W, H, spp, jax.random.PRNGKey(0),
+                                   depth=depth, chunk_size=192))
+    orc = render_oracle(sd, float(sd.camera.scale),
+                        float(sd.camera.aspect), c2w, W, H, spp, depth,
+                        seed=1)
+    # compare 4x4-block means: per-pixel MC noise at this spp is large,
+    # block averaging shrinks sigma by 4x
+    ob = ours.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    rb = orc.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    np.testing.assert_allclose(ob, rb, atol=atol)
+    return ours, orc
+
+
+def test_emissive_and_background():
+    """Radiance is deterministic per path; only the pixel-jitter at the
+    lamp silhouette is stochastic, so interior blocks match to fp and
+    edge blocks to binomial noise."""
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, W / H)
+    sd = compile_scene(S.Scene(cam, [
+        S.XYRect(-0.8, 0.8, -0.6, 0.6, -2.0,
+                 S.DiffuseLight.from_color((2.0, 1.0, 0.5))),
+    ], [], (0.1, 0.2, 0.3)))
+    compare(sd, atol=0.06, spp=32, depth=2)
+
+
+def test_lambertian_sphere_under_sky():
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 50.0, W / H)
+    sd = compile_scene(S.Scene(cam, [
+        S.Sphere((0, 0, -4), 1.5, S.Lambertian.from_rgb(0.7, 0.4, 0.2)),
+    ], [], (0.6, 0.7, 0.9)))
+    compare(sd, atol=0.035)
+
+
+def test_metal_and_glass():
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 50.0, W / H)
+    sd = compile_scene(S.Scene(cam, [
+        S.Sphere((-1.2, 0, -4), 1.0, S.Metal((0.9, 0.8, 0.7), 0.0)),
+        S.Sphere((1.2, 0, -4), 1.0, S.Dielectric(1.5)),
+        S.XZRect(-6.0, 6.0, -8.0, 0.0, -1.5,
+                 S.Lambertian.from_rgb(0.5, 0.5, 0.5)),
+    ], [], (0.7, 0.8, 1.0)))
+    compare(sd, atol=0.06)
+
+
+def test_light_importance_sampled_box():
+    """Lambertian walls + area light + light list (the Cornell pattern)."""
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, W / H)
+    lamp = S.XZRect(-0.6, 0.6, -4.6, -3.4, 1.95,
+                    S.DiffuseLight.from_color((8, 8, 8)))
+    sd = compile_scene(S.Scene(cam, [
+        S.XZRect(-2.0, 2.0, -6.0, -2.0, -2.0,
+                 S.Lambertian.from_rgb(0.7, 0.7, 0.7)),
+        S.XZRect(-2.0, 2.0, -6.0, -2.0, 2.0,
+                 S.Lambertian.from_rgb(0.7, 0.7, 0.7)),
+        S.YZRect(-2.0, 2.0, -6.0, -2.0, -2.0,
+                 S.Lambertian.from_rgb(0.6, 0.2, 0.2)),
+        S.YZRect(-2.0, 2.0, -6.0, -2.0, 2.0,
+                 S.Lambertian.from_rgb(0.2, 0.6, 0.2)),
+        S.XYRect(-2.0, 2.0, -2.0, 2.0, -6.0,
+                 S.Lambertian.from_rgb(0.7, 0.7, 0.7)),
+        lamp,
+    ], [lamp], (0, 0, 0)))
+    ours, orc = compare(sd, atol=0.12)
+    # both must actually carry light
+    assert ours.mean() > 0.05 and orc.mean() > 0.05
+    np.testing.assert_allclose(ours.mean(), orc.mean(), rtol=0.1)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/assets"),
+                    reason="reference assets not mounted")
+def test_default_gltf_cube():
+    """BASELINE config 1: the default.gltf scene, statistical parity."""
+    from rust_ray_tracer_tpu.models.gltf import load_gltf_scene
+    sd = compile_scene(load_gltf_scene(
+        "/root/reference/assets/default.gltf", W / H))
+    ours, orc = compare(sd, atol=0.08)
+    np.testing.assert_allclose(ours.mean(), orc.mean(), rtol=0.15)
