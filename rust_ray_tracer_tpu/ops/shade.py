@@ -63,6 +63,12 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
       hit: intersect.Hit for these rays.
 
     Outputs are only meaningful where ``hit.hit``; the integrator masks.
+
+    Randomness is drawn here (one uniform + one normal block — each
+    threefry invocation is a separate hash sweep, so seven keyed draws
+    became two) and handed to the pure :func:`shade_core`; on TPU the
+    core runs as a fused Pallas kernel whose custom VJP re-runs this XLA
+    core (same random block -> identical sampled path -> exact grads).
     """
     c = d_in.shape[0]
     f32 = d_in.dtype
@@ -71,25 +77,47 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # one packed float gather (-> one scatter-add in backward)
     mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[hit.mat]
     albedo = texture_value(scene, tex, hit.u, hit.v, hit.p)
-    normal = hit.normal
-    unit_d = la.normalize(d_in)
 
-    # ---- random draws: all streams drawn unconditionally, consumed by
-    # kind. One uniform block + one normal block instead of seven keyed
-    # draws — each threefry invocation costs a separate hash sweep, and
-    # the per-bounce draw count is fixed, so column slices of a single
-    # block keep the same determinism guarantees (keyed on the same
-    # (wave, chunk, bounce) coordinate).
-    ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 7),
+    ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
                             dtype=f32)
-    gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 8), dtype=f32)
+    gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6), dtype=f32)
+
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+    from rust_ray_tracer_tpu.ops.intersect import _no_pallas
+    if pk.on_tpu() and not _no_pallas():
+        from rust_ray_tracer_tpu.ops.pallas_shade import shade_fused
+        return shade_fused(scene, d_in, hit.p, hit.normal, albedo, kind,
+                           mat_pack[:, 0], mat_pack[:, 1], ub, gb)
+    return shade_core(scene, d_in, hit.p, hit.normal, albedo, kind,
+                      mat_pack[:, 0], mat_pack[:, 1], ub, gb)
+
+
+def shade_core(scene, d_in, p, normal, albedo, kind, fuzz, ior,
+               ub, gb) -> Scatter:
+    """Pure branchless material evaluation (no RNG, no gathers).
+
+    ``ub`` [C,9] uniforms / ``gb`` [C,6] normals are the bounce's entire
+    random budget; scene is only read for the light list (everything
+    per-ray is already gathered by the caller).
+
+    NOTE the ball radii draw from UNIFORM columns (u7/u8):
+    ``uniform_in_ball`` needs U[0,1) for its r ~ U^(1/3); feeding it a
+    gaussian (an earlier bug) skews the fuzz/phase distributions.
+    """
+    c = d_in.shape[0]
+    f32 = d_in.dtype
+    unit_d = la.normalize(d_in)
     u_scatter = ub[:, 0:2]
     u_coin = ub[:, 2]
     u_mix = ub[:, 3]
     u_pick = ub[:, 4]
     u_light = ub[:, 5:7]
-    g_fuzz = gb[:, 0:4]
-    g_iso = gb[:, 4:8]
+    g_fuzz = gb[:, 0:3]
+    g_iso = gb[:, 3:6]
+    u_fuzz_r = ub[:, 7]
+    u_iso_r = ub[:, 8]
+
+
 
     # =======================================================================
     # Lambertian (material/mod.rs:47-84) + the ray_color mixture
@@ -97,12 +125,12 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # =======================================================================
     cos_dir = sampling.cosine_sample(normal, u_scatter[:, 0], u_scatter[:, 1])
     if scene.n_lights:
-        light_dir = sampling.lights_sample(scene, hit.p, u_pick,
+        light_dir = sampling.lights_sample(scene, p, u_pick,
                                            u_light[:, 0], u_light[:, 1])
         lam_dir = jnp.where((u_mix < 0.5)[:, None], cos_dir, light_dir)
         lam_dir = lax.stop_gradient(lam_dir)
         pdf = (0.5 * sampling.cosine_pdf_value(normal, lam_dir)
-               + 0.5 * sampling.lights_pdf_value(scene, hit.p, lam_dir))
+               + 0.5 * sampling.lights_pdf_value(scene, p, lam_dir))
     else:
         lam_dir = lax.stop_gradient(cos_dir)
         pdf = sampling.cosine_pdf_value(normal, lam_dir)
@@ -116,16 +144,14 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # Metal (material/mod.rs:86-108)
     # =======================================================================
     reflected = la.reflect(unit_d, normal)
-    fuzz = mat_pack[:, 0]
     fuzz_vec = lax.stop_gradient(
-        sampling.uniform_in_ball(g_fuzz[:, :3], g_fuzz[:, 3]))
+        sampling.uniform_in_ball(g_fuzz, u_fuzz_r))
     metal_dir = reflected + fuzz[:, None] * fuzz_vec
     metal_ok = la.dot(metal_dir, normal) > 0.0   # else absorbed (mod.rs:99)
 
     # =======================================================================
     # Dielectric (material/mod.rs:110-148)
     # =======================================================================
-    ior = mat_pack[:, 1]
     exiting = la.dot(d_in, normal) > 0.0
     ratio = jnp.where(exiting, ior, 1.0 / ior)
     n_orient = jnp.where(exiting[:, None], -normal, normal)
@@ -150,7 +176,7 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # Isotropic (material/mod.rs:196-216): uniform-ball specular scatter
     # =======================================================================
     iso_dir = lax.stop_gradient(
-        sampling.uniform_in_ball(g_iso[:, :3], g_iso[:, 3]))
+        sampling.uniform_in_ball(g_iso, u_iso_r))
 
     # ---- select by material kind -----------------------------------------
     one3 = jnp.ones((c, 3), f32)

@@ -61,7 +61,7 @@ def test_lambertian_sphere_under_sky():
 def test_metal_and_glass():
     cam = make_camera(np.eye(3, 4, dtype=np.float32), 50.0, W / H)
     sd = compile_scene(S.Scene(cam, [
-        S.Sphere((-1.2, 0, -4), 1.0, S.Metal((0.9, 0.8, 0.7), 0.0)),
+        S.Sphere((-1.2, 0, -4), 1.0, S.Metal((0.9, 0.8, 0.7), 0.3)),
         S.Sphere((1.2, 0, -4), 1.0, S.Dielectric(1.5)),
         S.XZRect(-6.0, 6.0, -8.0, 0.0, -1.5,
                  S.Lambertian.from_rgb(0.5, 0.5, 0.5)),
