@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rust_ray_tracer_tpu.ops.camera import CameraData, make_camera
+from rust_ray_tracer_tpu.ops.camera import CameraData
 
 # ---------------------------------------------------------------------------
 # Enums (stable ABI for the kernels — never renumber)

@@ -22,8 +22,6 @@ Semantics: mirror of shade_core (material/mod.rs parity notes there).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rust_ray_tracer_tpu.models.scene import (
-    LIGHT_NULL, LIGHT_QUAD, LIGHT_SPHERE)
+from rust_ray_tracer_tpu.models.scene import LIGHT_QUAD, LIGHT_SPHERE
 from rust_ray_tracer_tpu.ops import linalg as la
 
 PI = jnp.pi

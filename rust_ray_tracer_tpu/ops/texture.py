@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rust_ray_tracer_tpu.models.scene import (
-    TEX_CHECKER, TEX_IMAGE, TEX_NOISE, TEX_SOLID)
+    TEX_CHECKER, TEX_IMAGE, TEX_NOISE)
 from rust_ray_tracer_tpu.ops import perlin
 
 
