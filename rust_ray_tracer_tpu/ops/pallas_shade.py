@@ -10,12 +10,19 @@ f32 plane (rays along lanes, full VPU utilization) and the kernel input
 is the stack ``[F, BR, 128]``. A ``[C, 3]`` vector is three planes. The
 tiny light table rides in SMEM and is looped over statically.
 
+**RNG.** The bounce's random budget (9 uniforms + 6 normals per ray) is
+generated INSIDE the kernel with the hardware PRNG (mantissa-bitcast
+uniforms, Box–Muller normals), seeded by the bounce key + tile id — no
+threefry sweeps on the hot path, still deterministic under any device or
+chunk assignment. The kernel exports the randoms it consumed as a second
+output.
+
 **Gradients.** ``shade_fused`` is a ``jax.custom_vjp``: the primal runs
 this kernel; the backward runs ``jax.vjp`` of the pure-XLA
-:func:`ops.shade.shade_core` — valid because the random block (ub/gb) is
-drawn OUTSIDE and shared, so both implementations shade the exact same
-sampled path. The detached-sampling discipline lives in shade_core's
-stop_gradients and is therefore inherited.
+:func:`ops.shade.shade_core` fed the EXPORTED randoms, so the
+linearization is taken around the identical sampled path. The
+detached-sampling discipline lives in shade_core's stop_gradients and is
+therefore inherited.
 
 Semantics: mirror of shade_core (material/mod.rs parity notes there).
 """
@@ -24,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -74,8 +82,15 @@ def _ball(gx, gy, gz, u):
     return dx * r, dy * r, dz * r
 
 
-def _make_kernel(n_lights: int):
-    def kernel(planes_ref, kind_ref, lt_ref, out_ref):
+def _bits_to_unit(bits):
+    """uint32 -> f32 in [0, 1) via mantissa bitcast (no int->float op)."""
+    f = pltpu.bitcast(
+        jnp.uint32(0x3F800000) | (bits >> jnp.uint32(9)), jnp.float32)
+    return f - 1.0
+
+
+def _make_kernel(n_lights: int, in_kernel_rng: bool):
+    def kernel(planes_ref, kind_ref, lt_ref, seed_ref, out_ref, rng_ref):
         P = planes_ref[:]                        # [F, BR, 128]
 
         def f(i):
@@ -86,10 +101,40 @@ def _make_kernel(n_lights: int):
         nx, ny, nz = f(6), f(7), f(8)
         ax, ay, az = f(9), f(10), f(11)
         fuzz, ior = f(12), f(13)
-        u0, u1, u2, u3, u4 = f(14), f(15), f(16), f(17), f(18)
-        ul0, ul1, ufr, uir = f(19), f(20), f(21), f(22)
-        g0, g1, g2, g3, g4, g5 = f(23), f(24), f(25), f(26), f(27), f(28)
         kind = kind_ref[:]                       # [BR, 128] int32
+
+        if in_kernel_rng:
+            # per-(chunk-key, tile) deterministic seed: same chunk on any
+            # device/loop assignment -> same randoms (utils/rng.py rules)
+            # Mosaic allows at most 2 seed values: mix the tile id into
+            # the second word (int32 mul wraps; deterministic)
+            pltpu.prng_seed(
+                seed_ref[0, 0],
+                seed_ref[0, 1] + pl.program_id(0) * jnp.int32(-1640531527))
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((15,) + dx.shape), jnp.uint32)
+            U = [_bits_to_unit(bits[i]) for i in range(15)]
+            u0, u1, u2, u3, u4, ul0, ul1, ufr, uir = U[:9]
+            # Box-Muller: 6 normals from 6 uniforms
+            gs = []
+            for k in range(3):
+                r = jnp.sqrt(-2.0 * jnp.log(
+                    jnp.maximum(U[9 + 2 * k], 1e-12)))
+                th = 2.0 * PI * U[10 + 2 * k]
+                gs += [r * jnp.cos(th), r * jnp.sin(th)]
+            g0, g1, g2, g3, g4, g5 = gs
+            # export the consumed randoms so the custom-VJP backward can
+            # replay the identical sampled path through the XLA core
+            for i, v in enumerate((u0, u1, u2, u3, u4, ul0, ul1, ufr,
+                                   uir, g0, g1, g2, g3, g4, g5)):
+                rng_ref[i] = v
+        else:
+            u0, u1, u2, u3, u4 = f(14), f(15), f(16), f(17), f(18)
+            ul0, ul1, ufr, uir = f(19), f(20), f(21), f(22)
+            g0, g1, g2 = f(23), f(24), f(25)
+            g3, g4, g5 = f(26), f(27), f(28)
+            for i in range(15):
+                rng_ref[i] = f(14 + i)
 
         udx, udy, udz = _normalize(dx, dy, dz)
 
@@ -295,9 +340,24 @@ def _make_kernel(n_lights: int):
     return kernel
 
 
-def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
+def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
+                  key=None, ub=None, gb=None):
+    """Run the kernel. Returns (Scatter, ub, gb) where ub/gb are the
+    randoms actually consumed — generated in-kernel from ``key`` when
+    given (fast path), else echoed from the supplied blocks (interpret /
+    validation path)."""
     c = d_in.shape[0]
     L = scene.n_lights
+    in_rng = key is not None
+    if in_rng and _pi.INTERPRET:
+        # interpret mode has no pltpu.prng lowering on CPU: draw the
+        # randoms on the host and use the echo path (the custom VJP is
+        # agnostic — it replays whatever randoms come back)
+        ub = jax.random.uniform(key, (c, 9), dtype=jnp.float32)
+        gb = jax.random.normal(jax.random.fold_in(key, 1), (c, 6),
+                               dtype=jnp.float32)
+        in_rng = False
+        key = None
     pad = (-c) % (BR * LANES)
     cp = c + pad
 
@@ -308,10 +368,11 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
              + [p[:, i] for i in range(3)]
              + [normal[:, i] for i in range(3)]
              + [albedo[:, i] for i in range(3)]
-             + [fuzz, ior]
-             + [ub[:, i] for i in range(9)]
-             + [gb[:, i] for i in range(6)])
-    planes = jnp.stack([plane(x) for x in feats])       # [29, Cr, 128]
+             + [fuzz, ior])
+    if not in_rng:
+        feats += [ub[:, i] for i in range(9)]
+        feats += [gb[:, i] for i in range(6)]
+    planes = jnp.stack([plane(x) for x in feats])   # [14 or 29, Cr, 128]
     kind_p = plane(kind.astype(jnp.int32))
 
     if L:
@@ -321,51 +382,74 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
              scene.light_q, scene.light_u, scene.light_v], axis=1)
     else:
         lt = jnp.zeros((1, 14), jnp.float32)
+    if in_rng:
+        seed = lax.bitcast_convert_type(
+            jnp.asarray(key, jnp.uint32), jnp.int32).reshape(1, -1)
+    else:
+        seed = jnp.zeros((1, 2), jnp.int32)
 
+    nf = planes.shape[0]
     cr = cp // LANES
     grid = (cr // BR,)
-    out = pl.pallas_call(
-        _make_kernel(L),
+    out, rng_out = pl.pallas_call(
+        _make_kernel(L, in_rng),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((29, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((nf, BR, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(seed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((10, BR, LANES), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((10, cr, LANES), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((10, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((15, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((10, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((15, cr, LANES), jnp.float32),
+        ],
         interpret=_pi.INTERPRET,
-    )(planes, kind_p, lt)
+    )(planes, kind_p, lt, seed)
 
     flat = out.reshape(10, cp)[:, :c]
-    return Scatter(
+    rflat = rng_out.reshape(15, cp)[:, :c]
+    sc = Scatter(
         emitted=flat[0:3].T, weight=flat[3:6].T,
         direction=flat[6:9].T, alive=flat[9] > 0.5)
+    return sc, rflat[0:9].T, rflat[9:15].T
 
 
 @jax.custom_vjp
-def shade_fused(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
+def shade_fused(scene, d_in, p, normal, albedo, kind, fuzz, ior, key):
     return _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
-                         ub, gb)
+                         key=key)[0]
 
 
-def _fwd(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
-    out = _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
-                        ub, gb)
-    return out, (scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb)
+def _fwd(scene, d_in, p, normal, albedo, kind, fuzz, ior, key):
+    out, ub, gb = _shade_pallas(scene, d_in, p, normal, albedo, kind,
+                                fuzz, ior, key=key)
+    return out, (scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb,
+                 key)
 
 
 def _bwd(res, g):
-    scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb = res
-    # the XLA core is the differentiable reference; same ub/gb -> same
-    # sampled path, so its linearization is the right one
+    scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb, key = res
+    # the XLA core is the differentiable reference; the kernel exported
+    # the randoms it consumed, so the linearization is taken around the
+    # identical sampled path. ub/gb cotangents are discarded (detached
+    # sampling: randoms are constants of the estimator).
     _, vjp = jax.vjp(shade_core, scene, d_in, p, normal, albedo, kind,
                      fuzz, ior, ub, gb)
-    return vjp(g)
+    grads = vjp(g)
+    import numpy as _np
+    key_ct = _np.zeros(jnp.shape(key), jax.dtypes.float0)
+    return grads[:8] + (key_ct,)
 
 
 shade_fused.defvjp(_fwd, _bwd)

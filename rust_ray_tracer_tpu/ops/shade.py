@@ -78,16 +78,18 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[hit.mat]
     albedo = texture_value(scene, tex, hit.u, hit.v, hit.p)
 
-    ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
-                            dtype=f32)
-    gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6), dtype=f32)
-
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
     from rust_ray_tracer_tpu.ops.intersect import _no_pallas
     if pk.on_tpu() and not _no_pallas():
+        # randoms are generated INSIDE the kernel (pltpu PRNG seeded by
+        # this bounce's key) — no threefry sweeps on the hot path
         from rust_ray_tracer_tpu.ops.pallas_shade import shade_fused
         return shade_fused(scene, d_in, hit.p, hit.normal, albedo, kind,
-                           mat_pack[:, 0], mat_pack[:, 1], ub, gb)
+                           mat_pack[:, 0], mat_pack[:, 1],
+                           rngu.stream(key, rngu.SCATTER))
+    ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
+                            dtype=f32)
+    gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6), dtype=f32)
     return shade_core(scene, d_in, hit.p, hit.normal, albedo, kind,
                       mat_pack[:, 0], mat_pack[:, 1], ub, gb)
 

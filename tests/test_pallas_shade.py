@@ -9,7 +9,8 @@ from rust_ray_tracer_tpu.models import scene as S
 from rust_ray_tracer_tpu.models.scene import compile_scene
 from rust_ray_tracer_tpu.ops import pallas_intersect as pim
 from rust_ray_tracer_tpu.ops.camera import make_camera
-from rust_ray_tracer_tpu.ops.pallas_shade import shade_fused
+from rust_ray_tracer_tpu.ops.pallas_shade import (
+    _shade_pallas, shade_fused)
 from rust_ray_tracer_tpu.ops.shade import shade_core
 
 
@@ -58,7 +59,10 @@ def test_fused_matches_core(n_lights):
         ], [], (0, 0, 0)))
     args = rand_inputs(300)
     ref = shade_core(sd, *args)
-    got = shade_fused(sd, *args)
+    got, ub_echo, gb_echo = _shade_pallas(sd, *args[:7], ub=args[7],
+                                          gb=args[8])
+    np.testing.assert_allclose(np.asarray(ub_echo), np.asarray(args[7]))
+    np.testing.assert_allclose(np.asarray(gb_echo), np.asarray(args[8]))
     np.testing.assert_array_equal(np.asarray(ref.alive),
                                   np.asarray(got.alive))
     for name in ("emitted", "weight", "direction"):
@@ -71,15 +75,20 @@ def test_fused_grad_matches_core_grad():
     sd = scene_with_lights()
     args = rand_inputs(256, seed=3)
 
+    key = jax.random.PRNGKey(7)
+    # kernel-generated randoms: fetch them, then grads through the fused
+    # custom VJP must equal grads of shade_core at those same randoms
+    _, ub, gb = _shade_pallas(sd, *args[:7], key=key)
+
     def loss_core(albedo, fuzz, ior):
         sc = shade_core(sd, args[0], args[1], args[2], albedo, args[4],
-                        fuzz, ior, args[7], args[8])
+                        fuzz, ior, ub, gb)
         return (jnp.sum(sc.weight) + jnp.sum(sc.emitted)
                 + jnp.sum(sc.direction ** 2))
 
     def loss_fused(albedo, fuzz, ior):
         sc = shade_fused(sd, args[0], args[1], args[2], albedo, args[4],
-                         fuzz, ior, args[7], args[8])
+                         fuzz, ior, key)
         return (jnp.sum(sc.weight) + jnp.sum(sc.emitted)
                 + jnp.sum(sc.direction ** 2))
 
