@@ -262,25 +262,6 @@ def _flip_normal(normal, flip):
     return normal.at[..., 1].set(ny)
 
 
-def _tri_attrs(scene, o, d, idx, t_min, t_max):
-    # ONE gather of a packed [T,9] view instead of three: transposes to a
-    # single scatter-add in the backward pass (TPU scatters are the
-    # dominant cost of the remat backward; the concat itself is tiny and
-    # its transpose is a free split)
-    pack = jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2],
-                           axis=1)[idx]
-    v0, e1, e2 = pack[:, 0:3], pack[:, 3:6], pack[:, 6:9]
-    det, u_num, v_num, t_num, n = _tri_quants(o, d, v0, e1, e2)
-    inv_det = la.safe_div(1.0, det)
-    t = t_num * inv_det
-    u = u_num * inv_det
-    v = v_num * inv_det
-    p = o + t[..., None] * d
-    normal = la.normalize(n) * jnp.sign(det)[..., None]
-    normal = _flip_normal(normal, scene.tri_flip[idx])
-    return t, p, normal, u, v, scene.tri_mat[idx]
-
-
 def _sphere_uv(p_unit):
     """Spherical UV from a point on the unit sphere (sphere.rs:34-40)."""
     theta = jnp.arccos(jnp.clip(-p_unit[..., 1], -1.0, 1.0))
@@ -288,46 +269,76 @@ def _sphere_uv(p_unit):
     return phi / (2.0 * jnp.pi), theta / jnp.pi
 
 
-def _sph_attrs(scene, o, d, time, idx, t_min, t_max):
-    pack = jnp.concatenate(
-        [scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
-         scene.sph_t1[:, None], scene.sph_r[:, None]], axis=1)[idx]
-    root1, root2, ok, c = _sphere_roots(
-        o, d, time, pack[:, 0:3], pack[:, 3:6],
-        pack[:, 6], pack[:, 7], pack[:, 8])
+def hit_attrs_core(o, d, time, t_min, t_max, kind, flip,
+                   tri_pack, sph_pack, quad_pack, t_med):
+    """Differentiable hit attributes from the detached selection.
+
+    Pure function of per-ray gathered primitive packs (the gathers — and
+    therefore their scatter-add transposes — stay outside, in XLA):
+      tri_pack  [C,9]: v0, e1, e2
+      sph_pack  [C,9]: c0, c1, t0, t1, r
+      quad_pack [C,9]: q, u, v
+      t_med     [C]  : differentiable medium scatter distance
+      kind [C] int32 (KIND_*), flip [C] bool (selected primitive's flag)
+
+    Returns (t, p, normal, u, v). Used directly on CPU and as the
+    backward reference for the fused TPU kernel (ops/pallas_hit.py).
+    """
+    c = o.shape[0]
+
+    # --- triangle (triangle.rs:38-69)
+    v0, e1, e2 = tri_pack[:, 0:3], tri_pack[:, 3:6], tri_pack[:, 6:9]
+    det, u_num, v_num, t_num, n = _tri_quants(o, d, v0, e1, e2)
+    inv_det = la.safe_div(1.0, det)
+    t_tri = t_num * inv_det
+    u_tri = u_num * inv_det
+    v_tri = v_num * inv_det
+    n_tri = la.normalize(n) * jnp.sign(det)[..., None]
+
+    # --- sphere (sphere.rs:52-95, 145-148)
+    root1, root2, ok, cen = _sphere_roots(
+        o, d, time, sph_pack[:, 0:3], sph_pack[:, 3:6],
+        sph_pack[:, 6], sph_pack[:, 7], sph_pack[:, 8])
     ok1 = ok & (root1 >= t_min) & (root1 <= t_max)
-    t = jnp.where(ok1, root1, root2)
+    t_sph = jnp.where(ok1, root1, root2)
+    p_sph = o + t_sph[..., None] * d
+    n_sph = (p_sph - cen) / jnp.maximum(sph_pack[:, 8], 1e-20)[..., None]
+    # UV quirk: near root uses the unit normal, far root world p
+    # (sphere.rs:66-69 vs 80-82)
+    uv_src = jnp.where(ok1[..., None], n_sph, p_sph)
+    u_sph, v_sph = _sphere_uv(uv_src)
+
+    # --- quad (aarect lowered)
+    t_qud, a_qud, b_qud, nq, denom, p_qud = _quad_quants(
+        o, d, quad_pack[:, 0:3], quad_pack[:, 3:6], quad_pack[:, 6:9])
+    nq_hat = la.normalize(nq)
+    n_qud = nq_hat * -jnp.sign(la.dot(d, nq_hat))[..., None]
+
+    # --- select by kind (miss lanes get t=0 HERE so p stays finite —
+    # an inf t would put NaNs in untaken where-branches and poison
+    # reverse-mode; the final t is patched to inf after p)
+    zero = jnp.zeros((c,), o.dtype)
+    t = jnp.where(kind == KIND_TRI, t_tri,
+                  jnp.where(kind == KIND_SPH, t_sph,
+                            jnp.where(kind == KIND_QUAD, t_qud,
+                                      jnp.where(kind == KIND_MED, t_med,
+                                                0.0))))
     p = o + t[..., None] * d
-    r = pack[:, 8]
-    normal = (p - c) / jnp.maximum(r, 1e-20)[..., None]
-    # UV quirk: near root uses the unit normal, far root uses world p
-    # (sphere.rs:66-69 vs 80-82).
-    uv_src = jnp.where(ok1[..., None], normal, p)
-    u, v = _sphere_uv(uv_src)
-    normal = _flip_normal(normal, scene.sph_flip[idx])
-    return t, p, normal, u, v, scene.sph_mat[idx]
-
-
-def _quad_attrs(scene, o, d, idx, t_min, t_max):
-    pack = jnp.concatenate([scene.quad_q, scene.quad_u, scene.quad_v],
-                           axis=1)[idx]
-    q, u_e, v_e = pack[:, 0:3], pack[:, 3:6], pack[:, 6:9]
-    t, alpha, beta, n, denom, p = _quad_quants(o, d, q, u_e, v_e)
-    n_hat = la.normalize(n)
-    # normal faces against the incoming ray == the reference's
-    # sign(origin_axis - k) for axis-aligned rects (aarect.rs:50).
-    normal = n_hat * -jnp.sign(la.dot(d, n_hat))[..., None]
-    normal = _flip_normal(normal, scene.quad_flip[idx])
-    return t, p, normal, alpha, beta, scene.quad_mat[idx]
-
-
-def _med_attrs(scene, o, d, idx, t_med_best):
-    t = t_med_best
-    p = o + t[..., None] * d
-    normal = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0], o.dtype), p.shape)  # constant_medium.rs:72
-    z = jnp.zeros_like(t)
-    return t, p, normal, z, z, scene.med_mat[idx]
+    n_med = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], o.dtype),
+                             (c, 3))   # constant_medium.rs:72
+    normal = jnp.where((kind == KIND_TRI)[:, None], n_tri,
+                       jnp.where((kind == KIND_SPH)[:, None], n_sph,
+                                 jnp.where((kind == KIND_QUAD)[:, None],
+                                           n_qud, n_med)))
+    uu = jnp.where(kind == KIND_TRI, u_tri,
+                   jnp.where(kind == KIND_SPH, u_sph,
+                             jnp.where(kind == KIND_QUAD, a_qud, zero)))
+    vv = jnp.where(kind == KIND_TRI, v_tri,
+                   jnp.where(kind == KIND_SPH, v_sph,
+                             jnp.where(kind == KIND_QUAD, b_qud, zero)))
+    normal = _flip_normal(normal, flip)
+    t = jnp.where(kind == KIND_NONE, jnp.inf, t)
+    return t, p, normal, uu, vv
 
 
 # ---------------------------------------------------------------------------
@@ -407,43 +418,58 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
     hit_mask = checkpoint_name(hit_mask, "isect_sel")
 
     # ---- phase 2: differentiable recompute of the winner ----
-    t = jnp.full((c,), INF)
-    p = jnp.zeros((c, 3), o.dtype)
-    normal = jnp.zeros((c, 3), o.dtype)
-    uu = jnp.zeros((c,), o.dtype)
-    vv = jnp.zeros((c,), o.dtype)
+    # gather each kind's parameters as ONE packed [C,9] row (gathers and
+    # their scatter-add transposes live here, in XLA); the attr math runs
+    # fused on TPU (ops/pallas_hit.py) or via hit_attrs_core on CPU
+    zero9 = jnp.zeros((c, 9), o.dtype)
+    zrow = jnp.zeros((c,), jnp.int32)
     mat = jnp.zeros((c,), jnp.int32)
-
-    def select(kind, attrs):
-        nonlocal t, p, normal, uu, vv, mat
-        sel = best_kind == kind
-        t_k, p_k, n_k, u_k, v_k, m_k = attrs
-        t = jnp.where(sel, t_k, t)
-        p = jnp.where(sel[:, None], p_k, p)
-        normal = jnp.where(sel[:, None], n_k, normal)
-        uu = jnp.where(sel, u_k, uu)
-        vv = jnp.where(sel, v_k, vv)
-        mat = jnp.where(sel, m_k, mat)
+    flip = jnp.zeros((c,), bool)
 
     if scene.n_tris:
-        select(KIND_TRI, _tri_attrs(scene, o, d,
-                                    jnp.where(best_kind == KIND_TRI,
-                                              best_idx, 0),
-                                    t_min, t_max))
+        i_t = jnp.where(best_kind == KIND_TRI, best_idx, 0)
+        tri_pack = jnp.concatenate(
+            [scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)[i_t]
+        sel = best_kind == KIND_TRI
+        mat = jnp.where(sel, scene.tri_mat[i_t], mat)
+        flip = jnp.where(sel, scene.tri_flip[i_t], flip)
+    else:
+        tri_pack = zero9
     if scene.n_spheres:
-        select(KIND_SPH, _sph_attrs(scene, o, d, time,
-                                    jnp.where(best_kind == KIND_SPH,
-                                              best_idx, 0),
-                                    t_min, t_max))
+        i_s = jnp.where(best_kind == KIND_SPH, best_idx, 0)
+        sph_pack = jnp.concatenate(
+            [scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
+             scene.sph_t1[:, None], scene.sph_r[:, None]], axis=1)[i_s]
+        sel = best_kind == KIND_SPH
+        mat = jnp.where(sel, scene.sph_mat[i_s], mat)
+        flip = jnp.where(sel, scene.sph_flip[i_s], flip)
+    else:
+        sph_pack = zero9.at[:, 7].set(1.0)   # t1=1: no 0/0 in frac
     if scene.n_quads:
-        select(KIND_QUAD, _quad_attrs(scene, o, d,
-                                      jnp.where(best_kind == KIND_QUAD,
-                                                best_idx, 0),
-                                      t_min, t_max))
+        i_q = jnp.where(best_kind == KIND_QUAD, best_idx, 0)
+        quad_pack = jnp.concatenate(
+            [scene.quad_q, scene.quad_u, scene.quad_v], axis=1)[i_q]
+        sel = best_kind == KIND_QUAD
+        mat = jnp.where(sel, scene.quad_mat[i_q], mat)
+        flip = jnp.where(sel, scene.quad_flip[i_q], flip)
+    else:
+        quad_pack = zero9
     if scene.n_media:
-        select(KIND_MED, _med_attrs(scene, o, d,
-                                    jnp.where(best_kind == KIND_MED,
-                                              best_idx, 0),
-                                    t_med_best))
+        i_m = jnp.where(best_kind == KIND_MED, best_idx, 0)
+        mat = jnp.where(best_kind == KIND_MED, scene.med_mat[i_m], mat)
+    if t_med_best is None:
+        t_med_best = jnp.zeros((c,), o.dtype)
+
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
+    if pk.on_tpu() and not _no_pallas():
+        from rust_ray_tracer_tpu.ops.pallas_hit import hit_attrs_fused
+        t, p, normal, uu, vv = hit_attrs_fused(
+            o, d, time, t_min, t_max, best_kind, flip,
+            tri_pack, sph_pack, quad_pack, t_med_best)
+    else:
+        t, p, normal, uu, vv = hit_attrs_core(
+            o, d, time, t_min, t_max, best_kind, flip,
+            tri_pack, sph_pack, quad_pack, t_med_best)
 
     return Hit(hit=hit_mask, t=t, p=p, normal=normal, u=uu, v=vv, mat=mat)
