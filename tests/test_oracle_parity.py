@@ -102,3 +102,21 @@ def test_default_gltf_cube():
         "/root/reference/assets/default.gltf", W / H))
     ours, orc = compare(sd, atol=0.08)
     np.testing.assert_allclose(ours.mean(), orc.mean(), rtol=0.15)
+
+
+def test_cornell_box_scene():
+    """BASELINE config 2: the actual cornell_box scene (quads from walls +
+    RotateY-baked cuboids, FlipFace lamp, light importance sampling)."""
+    from rust_ray_tracer_tpu.models import builders
+    sd = compile_scene(builders.get_scene("cornell_box", W / H))
+    # block atol is loose: at 16x12 the emissive-lamp blocks swing by
+    # +-0.3 from one jittered silhouette pixel (value 15); the tight
+    # assertion is the whole-image mean below
+    ours, orc = compare(sd, atol=0.3)
+    assert ours.mean() > 0.03 and orc.mean() > 0.03
+    # clip direct-lamp pixels (value 15): at this resolution one jittered
+    # silhouette pixel swings the raw mean by ~30%, drowning the signal;
+    # the clipped mean compares the transported (wall) radiance
+    a = np.minimum(ours, 1.0).mean()
+    b = np.minimum(orc, 1.0).mean()
+    np.testing.assert_allclose(a, b, rtol=0.1)
