@@ -62,7 +62,10 @@ def main():
         keep = zeros.tex_color.at[0].set(g.tex_color[0])
         return zeros._replace(tex_color=keep)
 
-    opt = optax.adam(5e-2)
+    # clip: a single firefly path (importance-sampling pdf floored at
+    # 1e-5 -> ~1e5 path weight) can spike one step's gradient by orders
+    # of magnitude and throw Adam onto a plateau
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(5e-2))
     opt_state = opt.init(diff)
 
     @jax.jit

@@ -263,9 +263,21 @@ def _flip_normal(normal, flip):
 
 
 def _sphere_uv(p_unit):
-    """Spherical UV from a point on the unit sphere (sphere.rs:34-40)."""
-    theta = jnp.arccos(jnp.clip(-p_unit[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(-p_unit[..., 2], p_unit[..., 0]) + jnp.pi
+    """Spherical UV from a point on the unit sphere (sphere.rs:34-40).
+
+    Gradient-safe at the poles: arccos' is infinite at |x| = 1 and
+    arctan2's gradient is NaN at (0, 0) — garbage lanes (miss/pad, whose
+    UV cotangent is zero) saturate the clip EXACTLY and inf * 0 = NaN
+    would poison every upstream gradient. The 1e-7 shrink is below f32
+    UV resolution.
+    """
+    y = jnp.clip(-p_unit[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(y)
+    x = p_unit[..., 0]
+    z = p_unit[..., 2]
+    degen = (jnp.abs(x) < 1e-12) & (jnp.abs(z) < 1e-12)
+    x = jnp.where(degen, 1e-12, x)
+    phi = jnp.arctan2(-z, x) + jnp.pi
     return phi / (2.0 * jnp.pi), theta / jnp.pi
 
 

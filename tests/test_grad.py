@@ -275,3 +275,27 @@ def test_fuzz_grad_mechanism():
     # same sign and order as the common-random-numbers secant
     fd = (float(loss(jnp.float32(0.4))) - float(loss(jnp.float32(0.3)))) / 0.1
     assert np.sign(g) == np.sign(fd)
+
+
+def test_sphere_pole_uv_grads_finite():
+    """Regression: a ray hitting a sphere's pole saturates the UV
+    arccos/arctan2 inputs exactly; their infinite/NaN derivatives times a
+    zero cotangent used to poison every upstream gradient (found when an
+    inverse-rendering run NaN'd on TPU)."""
+    from rust_ray_tracer_tpu.ops.integrator import trace_rays
+
+    base = compile_scene(S.Scene(cam(), [
+        S.Sphere((0, -3, -4), 1.0, S.Lambertian.from_rgb(0.6, 0.5, 0.4)),
+    ], [], (0.4, 0.4, 0.4)))
+    # straight down onto the north pole: hit normal == (0,1,0) exactly
+    o = jnp.asarray([[0.0, 0.0, -4.0]])
+    d = jnp.asarray([[0.0, -1.0, 0.0]])
+
+    def loss(dd):
+        L = trace_rays(combine(dd, partition(base)[1]), o, d,
+                       jnp.zeros(1), jax.random.PRNGKey(0), 2)
+        return jnp.sum(L)
+
+    g = jax.grad(loss)(partition(base)[0])
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
