@@ -616,27 +616,40 @@ def _pad_rows(arrs: dict, multiple: int, pad_values: dict) -> dict:
     return out
 
 
+def _morton_codes_np(centroids: np.ndarray) -> np.ndarray:
+    """[N] uint32 Morton codes, bit-identical to the native path
+    (rrt_native.cpp morton_codes): all quantization arithmetic in f32
+    with C truncation-toward-zero, so the primitive order — and hence
+    the compiled scene, argmin tie-breaks and the exact rendered image —
+    does not depend on whether librrt_native.so built (bitwise-
+    determinism invariant across environments)."""
+    c = np.asarray(centroids, np.float32)
+    mn, mx = c.min(0), c.max(0)
+    inv = np.where(mx > mn, np.float32(1.0) / (mx - mn).astype(np.float32),
+                   np.float32(0.0)).astype(np.float32)
+    f = ((c - mn) * inv).astype(np.float32)
+    f = np.clip(f, np.float32(0.0), np.float32(1.0))
+    q = (f * np.float32(1023.0)).astype(np.uint32).astype(np.uint64)
+
+    def expand(v):
+        v = (v * 0x00010001) & 0xFF0000FF
+        v = (v * 0x00000101) & 0x0F00F00F
+        v = (v * 0x00000011) & 0xC30C30C3
+        v = (v * 0x00000005) & 0x49249249
+        return v
+
+    code = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+    return code.astype(np.uint32)
+
+
 def _morton_argsort(centroids: np.ndarray) -> np.ndarray:
     """Morton-curve ordering of [N,3] points (native C++ when available,
-    vectorized NumPy otherwise)."""
+    vectorized NumPy otherwise — verified identical, tests/test_native.py)."""
     try:
         from rust_ray_tracer_tpu.native import morton_sort_native
         return morton_sort_native(centroids)
     except Exception:
-        c = np.asarray(centroids, np.float64)
-        mn, mx = c.min(0), c.max(0)
-        span = np.where(mx > mn, mx - mn, 1.0)
-        q = np.clip(((c - mn) / span * 1023.0), 0, 1023).astype(np.uint64)
-
-        def expand(v):
-            v = (v * 0x00010001) & 0xFF0000FF
-            v = (v * 0x00000101) & 0x0F00F00F
-            v = (v * 0x00000011) & 0xC30C30C3
-            v = (v * 0x00000005) & 0x49249249
-            return v
-
-        code = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) \
-            | expand(q[:, 2])
+        code = _morton_codes_np(centroids)
         return np.argsort(code, kind="stable").astype(np.int32)
 
 
@@ -708,8 +721,9 @@ def compile_scene(scene: Scene, seed: int = 0,
         k = tn // CLUSTER
         cl_min = lo.reshape(k, CLUSTER, 3).min(1)
         cl_max = hi.reshape(k, CLUSTER, 3).max(1)
-        # empty clusters (all-pad): keep inverted boxes — the slab test
-        # rejects them for every ray
+        # empty clusters (all-pad) keep inverted boxes (min > max); the
+        # mask pre-pass rejects them explicitly (min <= max check in
+        # ops/pallas_intersect._tile_cluster_mask)
     else:
         cl_min = np.zeros((0, 3), np.float32)
         cl_max = np.zeros((0, 3), np.float32)

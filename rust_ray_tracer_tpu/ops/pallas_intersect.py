@@ -123,9 +123,13 @@ def _tile_cluster_mask(o, d, cl_min, cl_max, t_min, t_max):
 
     Conservative slab test on unnormalized rays; axes with |d| ~ 0 fall
     back to an origin-inside-slab check. Rays with a collapsed t-window
-    (t_max <= t_min — dead lanes) hit nothing.
+    (t_max <= t_min — dead lanes) hit nothing. Inverted boxes
+    (min > max — the all-pad "empty cluster" encoding) are rejected
+    explicitly: the per-axis min/max swap below would otherwise turn an
+    (+inf, -inf) slab into (-inf, +inf) and pass every ray.
     """
     eps = 1e-3
+    nonempty = jnp.all(cl_min <= cl_max, axis=-1)[None]   # [1, K]
     o_ = o[:, None, :]                       # [C,1,3]
     d_ = d[:, None, :]
     small = jnp.abs(d_) < 1e-12
@@ -143,7 +147,7 @@ def _tile_cluster_mask(o, d, cl_min, cl_max, t_min, t_max):
         ~small | ((o_ >= cl_min[None] - eps) & (o_ <= cl_max[None] + eps)),
         axis=-1)
     window = (t_max > t_min)[:, None]
-    hit = (par_ok & (enter <= exit_) & (exit_ >= t_min[:, None])
+    hit = (nonempty & par_ok & (enter <= exit_) & (exit_ >= t_min[:, None])
            & (enter <= t_max[:, None]) & window)
     ci = o.shape[0] // BC
     return jnp.any(hit.reshape(ci, BC, -1), axis=1).astype(jnp.int32)

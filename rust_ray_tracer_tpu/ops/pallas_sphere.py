@@ -113,9 +113,13 @@ def sph_search(scene, o, d, time, t_min, t_max):
         scene.sph_c1[:, 2] - scene.sph_c0[:, 2],
         scene.sph_t0, inv_dt, scene.sph_r], axis=0)     # [9, S]
     # pad spheres with r = 0 at origin -> disc = b^2 - a*|o|^2 ... may be
-    # > 0 for rays toward the origin! pad with r=0 AND centers at +inf is
-    # unsafe in arithmetic; instead pad with NaN-free "impossible" rows:
-    # r = 0 and c0 = 1e30 -> cc ~ 1e60 overflows to inf -> disc = -inf.
+    # > 0 for rays toward the origin! Instead pad with c0 = 1e30, r = 0:
+    # both b*b and a*cc overflow to +inf, so disc = inf - inf = NaN — and
+    # NaN is rejected on every path (ok = NaN > 0 is False, and the NaN
+    # roots fail the ok1/ok2 range comparisons), so t stays inf. Do NOT
+    # "fix" the pad to finite large centers: f32 rounding of
+    # (oc.d)^2 - |d|^2|oc|^2 can then yield a tiny positive disc and a
+    # finite phantom root that beats a real miss.
     pad_s = (-(-s_n // BS) * BS) - s_n
     if pad_s:
         far = jnp.full((1, pad_s), 1e30, sph.dtype)

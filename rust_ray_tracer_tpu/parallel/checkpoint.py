@@ -86,16 +86,29 @@ def render_with_checkpoints(scene, width: int, height: int, spp: int,
                          waves_done=0, seed=seed, width=width,
                          height=height, chunk_size=chunk_size, depth=depth)
 
+    # ``wave_start``/``acc0`` are TRACED arguments (render_waves derives
+    # wave keys by fold_in, so this is exact): every ckpt_every-sized
+    # segment shares ONE compiled executable instead of baking the start
+    # wave in as a literal and recompiling the full wave program per
+    # segment (2-7 min/compile on the tunneled backend). Only a
+    # different-length tail segment triggers a second compile.
     if mesh is not None:
         from rust_ray_tracer_tpu.parallel.render import render_waves_sharded
 
-        def run(acc, start, n):
+        def segment(acc, start, n):
             return render_waves_sharded(scene, width, height, key, start, n,
                                         mesh, depth, chunk_size, acc0=acc)
     else:
-        def run(acc, start, n):
+        def segment(acc, start, n):
             return render_waves(scene, width, height, key, start, n, depth,
                                 chunk_size, acc0=acc)
+
+    jitted = {}
+
+    def run(acc, start, n):
+        if n not in jitted:
+            jitted[n] = jax.jit(lambda acc, start: segment(acc, start, n))
+        return jitted[n](acc, jax.numpy.asarray(start, jax.numpy.int32))
 
     acc = jax.numpy.asarray(st.acc)
     done = st.waves_done

@@ -35,6 +35,24 @@ def test_morton_sort_orders_locally():
     np.testing.assert_array_equal(xs[perm], np.sort(xs))
 
 
+def test_morton_native_numpy_identical():
+    """The NumPy fallback must produce the SAME permutation as the native
+    sort for any input (bitwise-determinism invariant: the compiled scene
+    may not depend on whether librrt_native.so built). Includes
+    quantization-boundary centroids where f64 math used to diverge."""
+    from rust_ray_tracer_tpu.models.scene import _morton_codes_np
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-5.0, 11.0, (4096, 3)).astype(np.float32)
+    # adversarial rows: exact quantization-boundary fractions k/1023
+    k = rng.integers(0, 1024, (512, 3))
+    pts = np.concatenate(
+        [pts, (-5.0 + 16.0 * k / 1023.0).astype(np.float32)], axis=0)
+    native_perm = native.morton_sort_native(pts)
+    np_perm = np.argsort(_morton_codes_np(pts), kind="stable")
+    np.testing.assert_array_equal(native_perm, np_perm)
+
+
 def oracle_hit_all(aabb_min, aabb_max, o, d):
     """Brute-force: which leaf boxes does the ray hit?"""
     inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
