@@ -1,17 +1,25 @@
-"""Pallas TPU kernel: fused differentiable hit attributes (phase 2).
+"""Pallas TPU kernels: fused differentiable hit attributes (phase 2) —
+forward AND backward.
 
-Computes (t, p, normal, u, v) for the detached closest-hit selection in
-one plane-layout kernel — triangle Möller–Trumbore recompute, sphere
-roots/normal, quad plane/barycentrics, medium constant, cross-kind
-select, FlipFace — replacing a dozen XLA fusion islands per bounce
-(ops/intersect.hit_attrs_core is the reference implementation and the
-backward; same custom-VJP pattern as ops/pallas_shade.py: the per-ray
-primitive packs are gathered in XLA, so gradient scatter-adds into the
-scene tables stay with XLA's gather transpose).
+The forward computes (t, p, normal, u, v) for the detached closest-hit
+selection in one plane-layout kernel — triangle Möller–Trumbore
+recompute, sphere roots/normal, quad plane/barycentrics, medium
+constant, cross-kind select, FlipFace — replacing a dozen XLA fusion
+islands per bounce (ops/intersect.hit_attrs_core is the semantic
+reference; reference parity notes there: triangle.rs:38-69,
+sphere.rs:52-95, aarect.rs:38-67, constant_medium.rs:46-80,
+geometry/mod.rs:226-230).
 
-The sphere UV needs arccos/arctan2 (risky Mosaic transcendentals); the
-kernel exports the UV *source* vector instead and the host-side wrapper
-applies ``_sphere_uv`` — a [C]-sized XLA epilogue.
+The backward is a second Pallas kernel that calls ``jax.vjp`` of the
+SAME plane-level core (:func:`_hit_plane_core`) at trace time: primal
+recompute + every transpose compile into one fused Mosaic kernel, so
+reverse-mode never leaves VMEM for the per-ray math. The custom-VJP
+boundary sits at the planes level (``_hit_planes_call``); the cheap
+[C]-sized epilogue (sphere UV arccos/arctan2 — risky Mosaic
+transcendentals — and the plane packing) stays in XLA and is
+differentiated by ordinary JAX AD. The per-ray primitive packs are
+gathered in XLA, so gradient scatter-adds into the scene tables stay
+with XLA's gather transpose.
 """
 
 from __future__ import annotations
@@ -26,6 +34,8 @@ from rust_ray_tracer_tpu.ops.pallas_shade import (
     BR, LANES, _dot, _normalize, _safe_sqrt)
 
 EPS = 1e-12
+N_IN = 37    # o(3) d(3) time tmin tmax tri(9) sph(9) quad(9) tmed
+N_OUT = 12   # t p(3) n(3) u v uvsrc(3)
 
 
 def _safe_div(a, b):
@@ -33,11 +43,19 @@ def _safe_div(a, b):
     return a / bs
 
 
-def _kernel(planes_ref, kind_ref, flip_ref, out_ref):
+def _hit_plane_core(P, kind, flip):
+    """Pure plane-level hit-attribute math shared by fwd and bwd kernels.
+
+    Args:
+      P: ``[N_IN, BR, 128]`` input plane stack.
+      kind, flip: ``[BR, 128]`` int32.
+
+    Returns ``[N_OUT, BR, 128]``: t (inf on miss), p(3), normal(3),
+    u, v (triangle/quad only), and the sphere-UV source vector (the host
+    epilogue applies arccos/arctan2).
+    """
     from rust_ray_tracer_tpu.ops.intersect import (
         KIND_MED, KIND_NONE, KIND_QUAD, KIND_SPH, KIND_TRI)
-
-    P = planes_ref[:]
 
     def f(i):
         return P[i]
@@ -55,8 +73,6 @@ def _kernel(planes_ref, kind_ref, flip_ref, out_ref):
     qux, quy, quz = f(30), f(31), f(32)
     qvx, qvy, qvz = f(33), f(34), f(35)
     tmed = f(36)
-    kind = kind_ref[:]
-    flip = flip_ref[:]
 
     # ---- triangle (matches _tri_quants) ------------------------------
     tnx = e1y * e2z - e1z * e2y
@@ -151,26 +167,99 @@ def _kernel(planes_ref, kind_ref, flip_ref, out_ref):
     one = jnp.ones_like(dx)
     # miss lanes: t=0 here (finite p), inf on output (hit_attrs_core)
     t = sel(t_tri, t_sph, t_qud, tmed, zero)
-    out_ref[0] = jnp.where(kind == KIND_NONE, jnp.inf, t)
-    out_ref[1] = ox + t * dx
-    out_ref[2] = oy + t * dy
-    out_ref[3] = oz + t * dz
+    t_out = jnp.where(kind == KIND_NONE, jnp.inf, t)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
     nx = sel(ntx, nsx, nqx, one, one)
     ny = sel(nty, nsy, nqy, zero, zero)
     nz = sel(ntz, nsz, nqz, zero, zero)
     ny = jnp.where(flip > 0, -jnp.abs(ny), ny)   # geometry/mod.rs:226-230
-    out_ref[4] = nx
-    out_ref[5] = ny
-    out_ref[6] = nz
-    out_ref[7] = sel(u_tri, zero, alpha, zero, zero)
-    out_ref[8] = sel(v_tri, zero, beta, zero, zero)
-    out_ref[9] = uvx
-    out_ref[10] = uvy
-    out_ref[11] = uvz
+    uu = sel(u_tri, zero, alpha, zero, zero)
+    vv = sel(v_tri, zero, beta, zero, zero)
+    return jnp.stack([t_out, px, py, pz, nx, ny, nz, uu, vv,
+                      uvx, uvy, uvz])
 
 
-def _hit_pallas(o, d, time, t_min, t_max, kind, flip,
-                tri_pack, sph_pack, quad_pack, t_med):
+def _kernel(planes_ref, kind_ref, flip_ref, out_ref):
+    out_ref[:] = _hit_plane_core(planes_ref[:], kind_ref[:], flip_ref[:])
+
+
+def _bwd_kernel(planes_ref, kind_ref, flip_ref, g_ref, dpl_ref):
+    P = planes_ref[:]
+    kind = kind_ref[:]
+    flip = flip_ref[:]
+
+    def core(P_):
+        return _hit_plane_core(P_, kind, flip)
+
+    _, vjp = jax.vjp(core, P)
+    (dP,) = vjp(g_ref[:])
+    dpl_ref[:] = dP
+
+
+@jax.custom_vjp
+def _hit_planes_call(planes, kind_p, flip_p):
+    """[N_IN, Cr, 128] planes -> [N_OUT, Cr, 128] attribute planes."""
+    cr = planes.shape[1]
+    return pl.pallas_call(
+        _kernel,
+        grid=(cr // BR,),
+        in_specs=[
+            pl.BlockSpec((N_IN, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_OUT, BR, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_OUT, cr, LANES), jnp.float32),
+        interpret=_pi.INTERPRET,
+    )(planes, kind_p, flip_p)
+
+
+def _hp_fwd(planes, kind_p, flip_p):
+    return _hit_planes_call(planes, kind_p, flip_p), (planes, kind_p,
+                                                      flip_p)
+
+
+def _hp_bwd(res, g):
+    planes, kind_p, flip_p = res
+    cr = planes.shape[1]
+    dplanes = pl.pallas_call(
+        _bwd_kernel,
+        grid=(cr // BR,),
+        in_specs=[
+            pl.BlockSpec((N_IN, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_OUT, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_IN, BR, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_IN, cr, LANES), jnp.float32),
+        interpret=_pi.INTERPRET,
+    )(planes, kind_p, flip_p, g)
+    import numpy as np
+    zk = np.zeros(jnp.shape(kind_p), jax.dtypes.float0)
+    zf = np.zeros(jnp.shape(flip_p), jax.dtypes.float0)
+    return dplanes, zk, zf
+
+
+_hit_planes_call.defvjp(_hp_fwd, _hp_bwd)
+
+
+def hit_attrs_fused(o, d, time, t_min, t_max, kind, flip,
+                    tri_pack, sph_pack, quad_pack, t_med):
+    """Fused phase-2 hit attributes — differentiable (the heavy per-ray
+    math runs as paired fwd/bwd Pallas kernels; packing and the sphere-UV
+    epilogue are ordinary XLA and differentiated by JAX AD)."""
     from rust_ray_tracer_tpu.ops.intersect import KIND_SPH, _sphere_uv
 
     c = o.shape[0]
@@ -186,52 +275,16 @@ def _hit_pallas(o, d, time, t_min, t_max, kind, flip,
              + [sph_pack[:, i] for i in range(9)]
              + [quad_pack[:, i] for i in range(9)]
              + [t_med])
-    planes = jnp.stack([plane(x) for x in feats])       # [37, Cr, 128]
+    planes = jnp.stack([plane(x) for x in feats])       # [N_IN, Cr, 128]
     kind_p = plane(kind.astype(jnp.int32))
     flip_p = plane(flip.astype(jnp.int32))
 
-    cr = cp // LANES
-    out = pl.pallas_call(
-        _kernel,
-        grid=(cr // BR,),
-        in_specs=[
-            pl.BlockSpec((37, BR, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((12, BR, LANES), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((12, cr, LANES), jnp.float32),
-        interpret=_pi.INTERPRET,
-    )(planes, kind_p, flip_p)
+    out = _hit_planes_call(planes, kind_p, flip_p)
 
-    flat = out.reshape(12, cp)[:, :c]
+    flat = out.reshape(N_OUT, cp)[:, :c]
     t, p, normal = flat[0], flat[1:4].T, flat[4:7].T
     uu, vv = flat[7], flat[8]
     u_s, v_s = _sphere_uv(flat[9:12].T)
     sph = kind == KIND_SPH
     return (t, p, normal,
             jnp.where(sph, u_s, uu), jnp.where(sph, v_s, vv))
-
-
-@jax.custom_vjp
-def hit_attrs_fused(o, d, time, t_min, t_max, kind, flip,
-                    tri_pack, sph_pack, quad_pack, t_med):
-    return _hit_pallas(o, d, time, t_min, t_max, kind, flip,
-                       tri_pack, sph_pack, quad_pack, t_med)
-
-
-def _fwd(*args):
-    return _hit_pallas(*args), args
-
-
-def _bwd(res, g):
-    from rust_ray_tracer_tpu.ops.intersect import hit_attrs_core
-    _, vjp = jax.vjp(hit_attrs_core, *res)
-    return vjp(g)
-
-
-hit_attrs_fused.defvjp(_fwd, _bwd)

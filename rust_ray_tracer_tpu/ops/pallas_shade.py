@@ -1,9 +1,9 @@
-"""Pallas TPU kernel: fused material shading (the whole shade_core).
+"""Pallas TPU kernels: fused material shading — forward AND backward.
 
-One kernel evaluates all five materials + the light-mixture sampling for
-a tile of rays, replacing ~40 XLA ops whose fusion boundaries round-trip
-[C,3] intermediates through HBM (~38% of forward wave time measured by
-ablation).
+One forward kernel evaluates all five materials + the light-mixture
+sampling for a tile of rays, replacing ~40 XLA ops whose fusion
+boundaries round-trip [C,3] intermediates through HBM (~38% of forward
+wave time measured by ablation).
 
 **Layout.** Scalars-as-planes: every per-ray quantity is a ``[Cr, 128]``
 f32 plane (rays along lanes, full VPU utilization) and the kernel input
@@ -11,24 +11,31 @@ is the stack ``[F, BR, 128]``. A ``[C, 3]`` vector is three planes. The
 tiny light table rides in SMEM and is looped over statically.
 
 **RNG.** The bounce's random budget (9 uniforms + 6 normals per ray) is
-generated INSIDE the kernel with the hardware PRNG (mantissa-bitcast
-uniforms, Box–Muller normals), seeded by the bounce key + tile id — no
-threefry sweeps on the hot path, still deterministic under any device or
-chunk assignment. The kernel exports the randoms it consumed as a second
-output.
+generated INSIDE the forward kernel with the hardware PRNG
+(mantissa-bitcast uniforms, Box–Muller normals), seeded by the bounce
+key + tile id — no threefry sweeps on the hot path, still deterministic
+under any device or chunk assignment. The kernel exports the randoms it
+consumed as a second output.
 
-**Gradients.** ``shade_fused`` is a ``jax.custom_vjp``: the primal runs
-this kernel; the backward runs ``jax.vjp`` of the pure-XLA
-:func:`ops.shade.shade_core` fed the EXPORTED randoms, so the
-linearization is taken around the identical sampled path. The
-detached-sampling discipline lives in shade_core's stop_gradients and is
-therefore inherited.
+**Gradients.** ``shade_fused`` is a ``jax.custom_vjp``; the backward is
+a SECOND Pallas kernel (``_make_bwd_kernel``) that calls ``jax.vjp`` of
+the *same plane-level core* (:func:`_plane_core`) at trace time, fed the
+exported randoms — so the whole adjoint (forward recompute + transposes)
+runs as one fused plane-layout kernel in VMEM, and the linearization is
+taken around the identical sampled path. Detached sampling lives in
+``_plane_core``'s ``stop_gradient``s (mixture-selected scatter
+direction, fuzz/isotropic ball draws), mirroring
+:func:`ops.shade.shade_core` exactly; gradients flow through BSDF
+values, pdf evaluations and specular chains only. Light-table gradients
+(solid-angle/area pdfs are differentiable in the light geometry) are
+reduced in-kernel to per-tile scalars and summed in XLA.
 
 Semantics: mirror of shade_core (material/mod.rs parity notes there).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -39,13 +46,17 @@ from rust_ray_tracer_tpu.models.scene import (
     LIGHT_QUAD, LIGHT_SPHERE, MAT_DIELECTRIC, MAT_ISOTROPIC,
     MAT_LAMBERTIAN, MAT_LIGHT, MAT_METAL)
 from rust_ray_tracer_tpu.ops import pallas_intersect as _pi
-from rust_ray_tracer_tpu.ops.shade import Scatter, shade_core
+from rust_ray_tracer_tpu.ops.shade import Scatter
 
 LANES = 128
 BR = 32                 # plane rows per grid step (rays/step = BR*128)
 PDF_FLOOR = 1e-5        # ray.rs:112
 EPS = 1e-12
 PI = 3.14159265358979
+
+N_DATA = 14             # d(3) p(3) n(3) albedo(3) fuzz ior
+N_RNG = 15              # 9 uniforms + 6 normals
+LT_COLS = 14            # light row: kind c(3) r q(3) u(3) v(3)
 
 
 def _dot(ax, ay, az, bx, by, bz):
@@ -89,18 +100,246 @@ def _bits_to_unit(bits):
     return f - 1.0
 
 
+def _plane_core(data, rng, kind, lt, n_lights):
+    """Pure plane-level shade math shared by the fwd and bwd kernels.
+
+    Args:
+      data: tuple of N_DATA ``[BR,128]`` planes
+        (dx,dy,dz, px,py,pz, nx,ny,nz, ax,ay,az, fuzz, ior).
+      rng: tuple of N_RNG planes (u0..u4, ul0, ul1, ufr, uir, g0..g5).
+      kind: ``[BR,128]`` int32 material ids.
+      lt: tuple of n_lights rows, each a tuple of LT_COLS scalars.
+      n_lights: static light count.
+
+    Returns 10 planes: emitted(3), weight(3), direction(3), alive(float).
+    The sampled directions are ``stop_gradient``-detached exactly as in
+    :func:`ops.shade.shade_core` (detached-sampling discipline), so
+    ``jax.vjp`` of this function IS the correct estimator gradient.
+    """
+    dx, dy, dz, px, py, pz, nx, ny, nz, ax, ay, az, fuzz, ior = data
+    u0, u1, u2, u3, u4, ul0, ul1, ufr, uir, g0, g1, g2, g3, g4, g5 = rng
+
+    udx, udy, udz = _normalize(dx, dy, dz)
+
+    # ---- Lambertian: cosine sample about n --------------------------
+    (bux, buy, buz), (bvx, bvy, bvz), (bwx, bwy, bwz) = _onb(nx, ny, nz)
+    z = _safe_sqrt(1.0 - u1)
+    phi = 2.0 * PI * u0
+    sr = _safe_sqrt(u1)
+    lx, ly, lz = jnp.cos(phi) * sr, jnp.sin(phi) * sr, z
+    cosx = lx * bux + ly * bvx + lz * bwx
+    cosy = lx * buy + ly * bvy + lz * bwy
+    cosz = lx * buz + ly * bvz + lz * bwz
+
+    if n_lights:
+        # picked light
+        li = jnp.minimum((u4 * n_lights).astype(jnp.int32),
+                         n_lights - 1)
+        ldx = jnp.zeros_like(dx)
+        ldy = jnp.zeros_like(dx)
+        ldz = jnp.zeros_like(dx)
+        for l in range(n_lights):
+            kf = lt[l][0]
+            cx, cy, cz, r = lt[l][1], lt[l][2], lt[l][3], lt[l][4]
+            qx, qy, qz = lt[l][5], lt[l][6], lt[l][7]
+            lux, luy, luz = lt[l][8], lt[l][9], lt[l][10]
+            lvx, lvy, lvz = lt[l][11], lt[l][12], lt[l][13]
+            # sphere: cone sample toward center (sphere.rs:114-119)
+            tcx, tcy, tcz = cx - px, cy - py, cz - pz
+            dist_sq = _dot(tcx, tcy, tcz, tcx, tcy, tcz)
+            cos_max = _safe_sqrt(
+                1.0 - r * r / jnp.maximum(dist_sq, EPS))
+            zz = 1.0 + ul1 * (cos_max - 1.0)
+            ph = 2.0 * PI * ul0
+            ss = _safe_sqrt(1.0 - zz * zz)
+            sx, sy, szl = jnp.cos(ph) * ss, jnp.sin(ph) * ss, zz
+            (cux, cuy, cuz), (cvx, cvy, cvz), (cwx, cwy, cwz) = \
+                _onb(tcx, tcy, tcz)
+            sphx = sx * cux + sy * cvx + szl * cwx
+            sphy = sx * cuy + sy * cvy + szl * cwy
+            sphz = sx * cuz + sy * cvz + szl * cwz
+            # quad: uniform point (aarect.rs:134-143)
+            qdx = qx + ul0 * lux + ul1 * lvx - px
+            qdy = qy + ul0 * luy + ul1 * lvy - py
+            qdz = qz + ul0 * luz + ul1 * lvz - pz
+            is_sph = kf == float(LIGHT_SPHERE)
+            is_quad = kf == float(LIGHT_QUAD)
+            cand_x = jnp.where(is_sph, sphx,
+                               jnp.where(is_quad, qdx, 1.0))
+            cand_y = jnp.where(is_sph, sphy,
+                               jnp.where(is_quad, qdy, 0.0))
+            cand_z = jnp.where(is_sph, sphz,
+                               jnp.where(is_quad, qdz, 0.0))
+            sel = li == l
+            ldx = jnp.where(sel, cand_x, ldx)
+            ldy = jnp.where(sel, cand_y, ldy)
+            ldz = jnp.where(sel, cand_z, ldz)
+        mix = u3 < 0.5
+        # detached sampling: the scatter direction is a constant of the
+        # estimator (shade_core: lam_dir = stop_gradient(...)); pdf and
+        # scattering_pdf below stay attached through n, p and the lights
+        sdx = lax.stop_gradient(jnp.where(mix, cosx, ldx))
+        sdy = lax.stop_gradient(jnp.where(mix, cosy, ldy))
+        sdz = lax.stop_gradient(jnp.where(mix, cosz, ldz))
+        # mixture pdf = 0.5 cos_pdf + 0.5 mean_l light_pdf
+        ndx, ndy, ndz = _normalize(sdx, sdy, sdz)
+        cos_pdf = jnp.maximum(
+            _dot(ndx, ndy, ndz, bwx, bwy, bwz) / PI, 0.0)
+        pdf_sum = jnp.zeros_like(dx)
+        for l in range(n_lights):
+            kf = lt[l][0]
+            cx, cy, cz, r = lt[l][1], lt[l][2], lt[l][3], lt[l][4]
+            qx, qy, qz = lt[l][5], lt[l][6], lt[l][7]
+            lux, luy, luz = lt[l][8], lt[l][9], lt[l][10]
+            lvx, lvy, lvz = lt[l][11], lt[l][12], lt[l][13]
+            # sphere solid-angle pdf (sphere.rs:101-112)
+            ocx, ocy, ocz = px - cx, py - cy, pz - cz
+            aa = _dot(sdx, sdy, sdz, sdx, sdy, sdz)
+            bb = _dot(ocx, ocy, ocz, sdx, sdy, sdz)
+            cc = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+            disc = bb * bb - aa * cc
+            sq = _safe_sqrt(disc)
+            aas = jnp.maximum(aa, EPS)
+            r1 = (-bb - sq) / aas
+            r2 = (-bb + sq) / aas
+            hits_s = (disc > 0.0) & ((r1 >= 1e-4) | (r2 >= 1e-4))
+            dist_sq = _dot(cx - px, cy - py, cz - pz,
+                           cx - px, cy - py, cz - pz)
+            cos_max = _safe_sqrt(
+                1.0 - r * r / jnp.maximum(dist_sq, EPS))
+            solid = 2.0 * PI * (1.0 - cos_max)
+            pdf_s = jnp.where(hits_s,
+                              1.0 / jnp.maximum(solid, EPS), 0.0)
+            # quad area pdf (aarect.rs:123-132)
+            wnx = luy * lvz - luz * lvy
+            wny = luz * lvx - lux * lvz
+            wnz = lux * lvy - luy * lvx
+            n2 = wnx * wnx + wny * wny + wnz * wnz
+            denom = _dot(sdx, sdy, sdz, wnx, wny, wnz)
+            dsafe = jnp.where(jnp.abs(denom) < EPS,
+                              jnp.where(denom < 0, -EPS, EPS), denom)
+            tq = _dot(qx - px, qy - py, qz - pz, wnx, wny, wnz) / dsafe
+            wx_ = px + tq * sdx - qx
+            wy_ = py + tq * sdy - qy
+            wz_ = pz + tq * sdz - qz
+            inv_n2 = 1.0 / jnp.maximum(n2, EPS)
+            al = _dot(wy_ * lvz - wz_ * lvy, wz_ * lvx - wx_ * lvz,
+                      wx_ * lvy - wy_ * lvx, wnx, wny, wnz) * inv_n2
+            be = _dot(luy * wz_ - luz * wy_, luz * wx_ - lux * wz_,
+                      lux * wy_ - luy * wx_, wnx, wny, wnz) * inv_n2
+            hits_q = ((tq >= 1e-3) & jnp.isfinite(tq)
+                      & (al >= 0.0) & (al <= 1.0)
+                      & (be >= 0.0) & (be <= 1.0))
+            area = _safe_sqrt(n2)
+            dlen2 = jnp.maximum(aa, EPS)
+            distq = tq * tq * dlen2
+            # guard BOTH divisions: a null quad row (n2 == 0 — e.g. a
+            # sphere light's zeroed q/u/v) would otherwise make the
+            # untaken branch 0/0 = NaN, which the where() masks in the
+            # primal but which poisons the adjoint (NaN * 0 = NaN)
+            cosq = jnp.abs(denom) / jnp.maximum(_safe_sqrt(n2), EPS) \
+                / jnp.maximum(_safe_sqrt(dlen2), 1e-20)
+            pdf_q = jnp.where(
+                hits_q, distq / jnp.maximum(cosq * area, EPS), 0.0)
+            kf_pdf = jnp.where(kf == float(LIGHT_SPHERE), pdf_s,
+                               jnp.where(kf == float(LIGHT_QUAD),
+                                         pdf_q, 0.0))
+            pdf_sum = pdf_sum + kf_pdf
+        pdf = 0.5 * cos_pdf + 0.5 * pdf_sum / n_lights
+        lamx, lamy, lamz = sdx, sdy, sdz
+    else:
+        lamx = lax.stop_gradient(cosx)
+        lamy = lax.stop_gradient(cosy)
+        lamz = lax.stop_gradient(cosz)
+        ndx, ndy, ndz = _normalize(lamx, lamy, lamz)
+        pdf = jnp.maximum(_dot(ndx, ndy, ndz, bwx, bwy, bwz) / PI, 0.0)
+
+    pdf = jnp.where(pdf > PDF_FLOOR, pdf, PDF_FLOOR)
+    nlx, nly, nlz = _normalize(lamx, lamy, lamz)
+    spdf = jnp.maximum(_dot(nx, ny, nz, nlx, nly, nlz) / PI, 0.0)
+    lam_w = spdf / pdf
+
+    # ---- Metal ------------------------------------------------------
+    dn2 = 2.0 * _dot(udx, udy, udz, nx, ny, nz)
+    rx, ry, rz = udx - dn2 * nx, udy - dn2 * ny, udz - dn2 * nz
+    fbx, fby, fbz = _ball(g0, g1, g2, ufr)   # randoms only: detached
+    fbx, fby, fbz = map(lax.stop_gradient, (fbx, fby, fbz))
+    mx, my, mz = rx + fuzz * fbx, ry + fuzz * fby, rz + fuzz * fbz
+    metal_ok = _dot(mx, my, mz, nx, ny, nz) > 0.0
+
+    # ---- Dielectric -------------------------------------------------
+    d_dot_n = _dot(dx, dy, dz, nx, ny, nz)
+    exiting = d_dot_n > 0.0
+    ratio = jnp.where(exiting, ior, 1.0 / ior)
+    nox = jnp.where(exiting, -nx, nx)
+    noy = jnp.where(exiting, -ny, ny)
+    noz = jnp.where(exiting, -nz, nz)
+    cos_t = jnp.minimum(-_dot(udx, udy, udz, nox, noy, noz), 1.0)
+    sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
+    tir = ratio * sin_t > 1.0
+    pox = ratio * (udx + cos_t * nox)
+    poy = ratio * (udy + cos_t * noy)
+    poz = ratio * (udz + cos_t * noz)
+    kk = jnp.abs(1.0 - (pox * pox + poy * poy + poz * poz))
+    sk = _safe_sqrt(kk)
+    refx, refy, refz = pox - sk * nox, poy - sk * noy, poz - sk * noz
+    r0 = (1.0 - ior) / (1.0 + ior)
+    r0 = r0 * r0
+    one_m = 1.0 - cos_t
+    om2 = one_m * one_m
+    schl = r0 + (1.0 - r0) * om2 * om2 * one_m
+    do_refl = tir | (schl >= u2)
+    dieux = jnp.where(do_refl, rx, refx)
+    dieuy = jnp.where(do_refl, ry, refy)
+    dieuz = jnp.where(do_refl, rz, refz)
+
+    # ---- DiffuseLight / Isotropic ----------------------------------
+    front = d_dot_n < 0.0
+    ibx, iby, ibz = _ball(g3, g4, g5, uir)
+    ibx, iby, ibz = map(lax.stop_gradient, (ibx, iby, ibz))
+
+    # ---- select -----------------------------------------------------
+    is_lam = kind == MAT_LAMBERTIAN
+    is_met = kind == MAT_METAL
+    is_die = kind == MAT_DIELECTRIC
+    is_iso = kind == MAT_ISOTROPIC
+    is_lig = kind == MAT_LIGHT
+
+    def sel3(lamv, metv, diev, isov, default):
+        return jnp.where(is_lam, lamv,
+                         jnp.where(is_met, metv,
+                                   jnp.where(is_die, diev,
+                                             jnp.where(is_iso, isov,
+                                                       default))))
+
+    one = jnp.ones_like(dx)
+    zero = jnp.zeros_like(dx)
+    em = (jnp.where(is_lig & front, ax, zero),
+          jnp.where(is_lig & front, ay, zero),
+          jnp.where(is_lig & front, az, zero))
+    wt = (sel3(ax * lam_w, ax, one, ax, zero),
+          sel3(ay * lam_w, ay, one, ay, zero),
+          sel3(az * lam_w, az, one, az, zero))
+    # default (1,1,1) matches shade_core's one3 fallback exactly
+    dr = (sel3(lamx, mx, dieux, ibx, one),
+          sel3(lamy, my, dieuy, iby, one),
+          sel3(lamz, mz, dieuz, ibz, one))
+    # alive as float select (Mosaic rejects bool->f32 truncation)
+    alive_f = jnp.where(is_met,
+                        jnp.where(metal_ok, one, zero),
+                        jnp.where(is_lig, zero, one))
+    return em + wt + dr + (alive_f,)
+
+
+def _read_lt(lt_ref, n_lights):
+    return tuple(tuple(lt_ref[l, j] for j in range(LT_COLS))
+                 for l in range(n_lights))
+
+
 def _make_kernel(n_lights: int, in_kernel_rng: bool):
     def kernel(planes_ref, kind_ref, lt_ref, seed_ref, out_ref, rng_ref):
         P = planes_ref[:]                        # [F, BR, 128]
-
-        def f(i):
-            return P[i]
-
-        dx, dy, dz = f(0), f(1), f(2)
-        px, py, pz = f(3), f(4), f(5)
-        nx, ny, nz = f(6), f(7), f(8)
-        ax, ay, az = f(9), f(10), f(11)
-        fuzz, ior = f(12), f(13)
+        data = tuple(P[i] for i in range(N_DATA))
         kind = kind_ref[:]                       # [BR, 128] int32
 
         if in_kernel_rng:
@@ -112,238 +351,87 @@ def _make_kernel(n_lights: int, in_kernel_rng: bool):
                 seed_ref[0, 0],
                 seed_ref[0, 1] + pl.program_id(0) * jnp.int32(-1640531527))
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((15,) + dx.shape), jnp.uint32)
+                pltpu.prng_random_bits((15,) + data[0].shape), jnp.uint32)
             U = [_bits_to_unit(bits[i]) for i in range(15)]
-            u0, u1, u2, u3, u4, ul0, ul1, ufr, uir = U[:9]
-            # Box-Muller: 6 normals from 6 uniforms
+            # Box-Muller: 6 normals from 6 uniforms (U[9..14])
             gs = []
             for k in range(3):
                 r = jnp.sqrt(-2.0 * jnp.log(
                     jnp.maximum(U[9 + 2 * k], 1e-12)))
                 th = 2.0 * PI * U[10 + 2 * k]
                 gs += [r * jnp.cos(th), r * jnp.sin(th)]
-            g0, g1, g2, g3, g4, g5 = gs
+            rng = tuple(U[:9]) + tuple(gs)
             # export the consumed randoms so the custom-VJP backward can
-            # replay the identical sampled path through the XLA core
-            for i, v in enumerate((u0, u1, u2, u3, u4, ul0, ul1, ufr,
-                                   uir, g0, g1, g2, g3, g4, g5)):
+            # replay the identical sampled path
+            for i, v in enumerate(rng):
                 rng_ref[i] = v
         else:
-            u0, u1, u2, u3, u4 = f(14), f(15), f(16), f(17), f(18)
-            ul0, ul1, ufr, uir = f(19), f(20), f(21), f(22)
-            g0, g1, g2 = f(23), f(24), f(25)
-            g3, g4, g5 = f(26), f(27), f(28)
-            for i in range(15):
-                rng_ref[i] = f(14 + i)
+            rng = tuple(P[N_DATA + i] for i in range(N_RNG))
+            for i in range(N_RNG):
+                rng_ref[i] = rng[i]
 
-        udx, udy, udz = _normalize(dx, dy, dz)
-
-        # ---- Lambertian: cosine sample about n --------------------------
-        (bux, buy, buz), (bvx, bvy, bvz), (bwx, bwy, bwz) = _onb(nx, ny, nz)
-        z = _safe_sqrt(1.0 - u1)
-        phi = 2.0 * PI * u0
-        sr = _safe_sqrt(u1)
-        lx, ly, lz = jnp.cos(phi) * sr, jnp.sin(phi) * sr, z
-        cosx = lx * bux + ly * bvx + lz * bwx
-        cosy = lx * buy + ly * bvy + lz * bwy
-        cosz = lx * buz + ly * bvz + lz * bwz
-
-        if n_lights:
-            # picked light
-            li = jnp.minimum((u4 * n_lights).astype(jnp.int32),
-                             n_lights - 1)
-            ldx = jnp.zeros_like(dx)
-            ldy = jnp.zeros_like(dx)
-            ldz = jnp.zeros_like(dx)
-            for l in range(n_lights):
-                kf = lt_ref[l, 0]
-                cx, cy, cz, r = (lt_ref[l, 1], lt_ref[l, 2], lt_ref[l, 3],
-                                 lt_ref[l, 4])
-                qx, qy, qz = lt_ref[l, 5], lt_ref[l, 6], lt_ref[l, 7]
-                lux, luy, luz = lt_ref[l, 8], lt_ref[l, 9], lt_ref[l, 10]
-                lvx, lvy, lvz = lt_ref[l, 11], lt_ref[l, 12], lt_ref[l, 13]
-                # sphere: cone sample toward center (sphere.rs:114-119)
-                tcx, tcy, tcz = cx - px, cy - py, cz - pz
-                dist_sq = _dot(tcx, tcy, tcz, tcx, tcy, tcz)
-                cos_max = _safe_sqrt(
-                    1.0 - r * r / jnp.maximum(dist_sq, EPS))
-                zz = 1.0 + ul1 * (cos_max - 1.0)
-                ph = 2.0 * PI * ul0
-                ss = _safe_sqrt(1.0 - zz * zz)
-                sx, sy, szl = jnp.cos(ph) * ss, jnp.sin(ph) * ss, zz
-                (cux, cuy, cuz), (cvx, cvy, cvz), (cwx, cwy, cwz) = \
-                    _onb(tcx, tcy, tcz)
-                sphx = sx * cux + sy * cvx + szl * cwx
-                sphy = sx * cuy + sy * cvy + szl * cwy
-                sphz = sx * cuz + sy * cvz + szl * cwz
-                # quad: uniform point (aarect.rs:134-143)
-                qdx = qx + ul0 * lux + ul1 * lvx - px
-                qdy = qy + ul0 * luy + ul1 * lvy - py
-                qdz = qz + ul0 * luz + ul1 * lvz - pz
-                is_sph = kf == float(LIGHT_SPHERE)
-                is_quad = kf == float(LIGHT_QUAD)
-                cand_x = jnp.where(is_sph, sphx,
-                                   jnp.where(is_quad, qdx, 1.0))
-                cand_y = jnp.where(is_sph, sphy,
-                                   jnp.where(is_quad, qdy, 0.0))
-                cand_z = jnp.where(is_sph, sphz,
-                                   jnp.where(is_quad, qdz, 0.0))
-                sel = li == l
-                ldx = jnp.where(sel, cand_x, ldx)
-                ldy = jnp.where(sel, cand_y, ldy)
-                ldz = jnp.where(sel, cand_z, ldz)
-            mix = u3 < 0.5
-            sdx = jnp.where(mix, cosx, ldx)
-            sdy = jnp.where(mix, cosy, ldy)
-            sdz = jnp.where(mix, cosz, ldz)
-            # mixture pdf = 0.5 cos_pdf + 0.5 mean_l light_pdf
-            ndx, ndy, ndz = _normalize(sdx, sdy, sdz)
-            cos_pdf = jnp.maximum(
-                _dot(ndx, ndy, ndz, bwx, bwy, bwz) / PI, 0.0)
-            pdf_sum = jnp.zeros_like(dx)
-            for l in range(n_lights):
-                kf = lt_ref[l, 0]
-                cx, cy, cz, r = (lt_ref[l, 1], lt_ref[l, 2], lt_ref[l, 3],
-                                 lt_ref[l, 4])
-                qx, qy, qz = lt_ref[l, 5], lt_ref[l, 6], lt_ref[l, 7]
-                lux, luy, luz = lt_ref[l, 8], lt_ref[l, 9], lt_ref[l, 10]
-                lvx, lvy, lvz = lt_ref[l, 11], lt_ref[l, 12], lt_ref[l, 13]
-                # sphere solid-angle pdf (sphere.rs:101-112)
-                ocx, ocy, ocz = px - cx, py - cy, pz - cz
-                aa = _dot(sdx, sdy, sdz, sdx, sdy, sdz)
-                bb = _dot(ocx, ocy, ocz, sdx, sdy, sdz)
-                cc = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
-                disc = bb * bb - aa * cc
-                sq = _safe_sqrt(disc)
-                aas = jnp.maximum(aa, EPS)
-                r1 = (-bb - sq) / aas
-                r2 = (-bb + sq) / aas
-                hits_s = (disc > 0.0) & ((r1 >= 1e-4) | (r2 >= 1e-4))
-                dist_sq = _dot(cx - px, cy - py, cz - pz,
-                               cx - px, cy - py, cz - pz)
-                cos_max = _safe_sqrt(
-                    1.0 - r * r / jnp.maximum(dist_sq, EPS))
-                solid = 2.0 * PI * (1.0 - cos_max)
-                pdf_s = jnp.where(hits_s,
-                                  1.0 / jnp.maximum(solid, EPS), 0.0)
-                # quad area pdf (aarect.rs:123-132)
-                wnx = luy * lvz - luz * lvy
-                wny = luz * lvx - lux * lvz
-                wnz = lux * lvy - luy * lvx
-                n2 = wnx * wnx + wny * wny + wnz * wnz
-                denom = _dot(sdx, sdy, sdz, wnx, wny, wnz)
-                dsafe = jnp.where(jnp.abs(denom) < EPS,
-                                  jnp.where(denom < 0, -EPS, EPS), denom)
-                tq = _dot(qx - px, qy - py, qz - pz, wnx, wny, wnz) / dsafe
-                wx_ = px + tq * sdx - qx
-                wy_ = py + tq * sdy - qy
-                wz_ = pz + tq * sdz - qz
-                inv_n2 = 1.0 / jnp.maximum(n2, EPS)
-                al = _dot(wy_ * lvz - wz_ * lvy, wz_ * lvx - wx_ * lvz,
-                          wx_ * lvy - wy_ * lvx, wnx, wny, wnz) * inv_n2
-                be = _dot(luy * wz_ - luz * wy_, luz * wx_ - lux * wz_,
-                          lux * wy_ - luy * wx_, wnx, wny, wnz) * inv_n2
-                hits_q = ((tq >= 1e-3) & jnp.isfinite(tq)
-                          & (al >= 0.0) & (al <= 1.0)
-                          & (be >= 0.0) & (be <= 1.0))
-                area = _safe_sqrt(n2)
-                dlen2 = jnp.maximum(aa, EPS)
-                distq = tq * tq * dlen2
-                cosq = jnp.abs(denom / _safe_sqrt(n2)) \
-                    / jnp.maximum(_safe_sqrt(dlen2), 1e-20)
-                pdf_q = jnp.where(
-                    hits_q, distq / jnp.maximum(cosq * area, EPS), 0.0)
-                kf_pdf = jnp.where(kf == float(LIGHT_SPHERE), pdf_s,
-                                   jnp.where(kf == float(LIGHT_QUAD),
-                                             pdf_q, 0.0))
-                pdf_sum = pdf_sum + kf_pdf
-            pdf = 0.5 * cos_pdf + 0.5 * pdf_sum / n_lights
-            lamx, lamy, lamz = sdx, sdy, sdz
-        else:
-            lamx, lamy, lamz = cosx, cosy, cosz
-            ndx, ndy, ndz = _normalize(lamx, lamy, lamz)
-            pdf = jnp.maximum(_dot(ndx, ndy, ndz, bwx, bwy, bwz) / PI, 0.0)
-
-        pdf = jnp.where(pdf > PDF_FLOOR, pdf, PDF_FLOOR)
-        nlx, nly, nlz = _normalize(lamx, lamy, lamz)
-        spdf = jnp.maximum(_dot(nx, ny, nz, nlx, nly, nlz) / PI, 0.0)
-        lam_w = spdf / pdf
-
-        # ---- Metal ------------------------------------------------------
-        dn2 = 2.0 * _dot(udx, udy, udz, nx, ny, nz)
-        rx, ry, rz = udx - dn2 * nx, udy - dn2 * ny, udz - dn2 * nz
-        fbx, fby, fbz = _ball(g0, g1, g2, ufr)
-        mx, my, mz = rx + fuzz * fbx, ry + fuzz * fby, rz + fuzz * fbz
-        metal_ok = _dot(mx, my, mz, nx, ny, nz) > 0.0
-
-        # ---- Dielectric -------------------------------------------------
-        d_dot_n = _dot(dx, dy, dz, nx, ny, nz)
-        exiting = d_dot_n > 0.0
-        ratio = jnp.where(exiting, ior, 1.0 / ior)
-        nox = jnp.where(exiting, -nx, nx)
-        noy = jnp.where(exiting, -ny, ny)
-        noz = jnp.where(exiting, -nz, nz)
-        cos_t = jnp.minimum(-_dot(udx, udy, udz, nox, noy, noz), 1.0)
-        sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
-        tir = ratio * sin_t > 1.0
-        pox = ratio * (udx + cos_t * nox)
-        poy = ratio * (udy + cos_t * noy)
-        poz = ratio * (udz + cos_t * noz)
-        kk = jnp.abs(1.0 - (pox * pox + poy * poy + poz * poz))
-        sk = _safe_sqrt(kk)
-        refx, refy, refz = pox - sk * nox, poy - sk * noy, poz - sk * noz
-        r0 = (1.0 - ior) / (1.0 + ior)
-        r0 = r0 * r0
-        one_m = 1.0 - cos_t
-        om2 = one_m * one_m
-        schl = r0 + (1.0 - r0) * om2 * om2 * one_m
-        do_refl = tir | (schl >= u2)
-        dieux = jnp.where(do_refl, rx, refx)
-        dieuy = jnp.where(do_refl, ry, refy)
-        dieuz = jnp.where(do_refl, rz, refz)
-
-        # ---- DiffuseLight / Isotropic ----------------------------------
-        front = d_dot_n < 0.0
-        ibx, iby, ibz = _ball(g3, g4, g5, uir)
-
-        # ---- select -----------------------------------------------------
-        is_lam = kind == MAT_LAMBERTIAN
-        is_met = kind == MAT_METAL
-        is_die = kind == MAT_DIELECTRIC
-        is_iso = kind == MAT_ISOTROPIC
-        is_lig = kind == MAT_LIGHT
-
-        def sel3(lamv, metv, diev, isov, default):
-            return jnp.where(is_lam, lamv,
-                             jnp.where(is_met, metv,
-                                       jnp.where(is_die, diev,
-                                                 jnp.where(is_iso, isov,
-                                                           default))))
-
-        one = jnp.ones_like(dx)
-        zero = jnp.zeros_like(dx)
-        out_ref[0] = jnp.where(is_lig & front, ax, zero)    # emitted
-        out_ref[1] = jnp.where(is_lig & front, ay, zero)
-        out_ref[2] = jnp.where(is_lig & front, az, zero)
-        out_ref[3] = sel3(ax * lam_w, ax, one, ax, zero)    # weight
-        out_ref[4] = sel3(ay * lam_w, ay, one, ay, zero)
-        out_ref[5] = sel3(az * lam_w, az, one, az, zero)
-        # default (1,1,1) matches shade_core's one3 fallback exactly
-        out_ref[6] = sel3(lamx, mx, dieux, ibx, one)        # direction
-        out_ref[7] = sel3(lamy, my, dieuy, iby, one)
-        out_ref[8] = sel3(lamz, mz, dieuz, ibz, one)
-        # alive as float select (Mosaic rejects bool->f32 truncation)
-        out_ref[9] = jnp.where(is_met,
-                               jnp.where(metal_ok, one, zero),
-                               jnp.where(is_lig, zero, one))
+        outs = _plane_core(data, rng, kind, _read_lt(lt_ref, n_lights),
+                           n_lights)
+        for i, v in enumerate(outs):
+            out_ref[i] = v
 
     return kernel
 
 
+def _make_bwd_kernel(n_lights: int):
+    """Fused plane-layout backward: jax.vjp of _plane_core, traced INSIDE
+    the kernel, so primal recompute + all transposes compile to one
+    Mosaic kernel with VMEM-resident residuals. Outputs: the N_DATA data
+    plane cotangents and (first row of) a [8,128] plane holding the
+    per-tile light-table gradient sums at lanes l*LT_COLS+j."""
+    def kernel(planes_ref, kind_ref, lt_ref, g_ref, dpl_ref, dlt_ref):
+        P = planes_ref[:]                        # [N_DATA+N_RNG, BR, 128]
+        kind = kind_ref[:]
+        g = g_ref[:]                             # [9, BR, 128]
+        rng = tuple(lax.stop_gradient(P[N_DATA + i]) for i in range(N_RNG))
+        lt = _read_lt(lt_ref, n_lights)
+
+        def core(data, lt_):
+            outs = _plane_core(data, rng, kind, lt_, n_lights)
+            return jnp.stack(outs[:9])           # alive has no cotangent
+
+        data = tuple(P[i] for i in range(N_DATA))
+        _, vjp = jax.vjp(core, data, lt)
+        d_data, d_lt = vjp(g)
+        for i in range(N_DATA):
+            dpl_ref[i] = d_data[i]
+
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        if n_lights:
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            for l in range(n_lights):
+                for j in range(LT_COLS):
+                    s = d_lt[l][j]               # scalar (summed by vjp)
+                    acc = acc + jnp.where(
+                        (row == 0) & (col == l * LT_COLS + j), s, 0.0)
+        dlt_ref[0] = acc
+
+    return kernel
+
+
+def _plane(x, pad, cp):
+    return jnp.pad(x, (0, pad)).reshape(cp // LANES, LANES)
+
+
+def _light_table(scene):
+    if scene.n_lights:
+        return jnp.concatenate(
+            [scene.light_kind.astype(jnp.float32)[:, None],
+             scene.light_c, scene.light_r[:, None],
+             scene.light_q, scene.light_u, scene.light_v], axis=1)
+    return jnp.zeros((1, LT_COLS), jnp.float32)
+
+
 def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
                   key=None, ub=None, gb=None):
-    """Run the kernel. Returns (Scatter, ub, gb) where ub/gb are the
-    randoms actually consumed — generated in-kernel from ``key`` when
+    """Run the forward kernel. Returns (Scatter, ub, gb) where ub/gb are
+    the randoms actually consumed — generated in-kernel from ``key`` when
     given (fast path), else echoed from the supplied blocks (interpret /
     validation path)."""
     c = d_in.shape[0]
@@ -361,9 +449,6 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
     pad = (-c) % (BR * LANES)
     cp = c + pad
 
-    def plane(x):
-        return jnp.pad(x, (0, pad)).reshape(cp // LANES, LANES)
-
     feats = ([d_in[:, i] for i in range(3)]
              + [p[:, i] for i in range(3)]
              + [normal[:, i] for i in range(3)]
@@ -372,16 +457,10 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
     if not in_rng:
         feats += [ub[:, i] for i in range(9)]
         feats += [gb[:, i] for i in range(6)]
-    planes = jnp.stack([plane(x) for x in feats])   # [14 or 29, Cr, 128]
-    kind_p = plane(kind.astype(jnp.int32))
+    planes = jnp.stack([_plane(x, pad, cp) for x in feats])
+    kind_p = _plane(kind.astype(jnp.int32), pad, cp)
 
-    if L:
-        lt = jnp.concatenate(
-            [scene.light_kind.astype(jnp.float32)[:, None],
-             scene.light_c, scene.light_r[:, None],
-             scene.light_q, scene.light_u, scene.light_v], axis=1)
-    else:
-        lt = jnp.zeros((1, 14), jnp.float32)
+    lt = _light_table(scene)
     if in_rng:
         seed = lax.bitcast_convert_type(
             jnp.asarray(key, jnp.uint32), jnp.int32).reshape(1, -1)
@@ -425,6 +504,78 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
     return sc, rflat[0:9].T, rflat[9:15].T
 
 
+def _shade_bwd_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
+                      ub, gb, g: Scatter):
+    """Fused backward. Returns (d_d_in, d_p, d_normal, d_albedo, d_fuzz,
+    d_ior, d_lt [L, LT_COLS])."""
+    c = d_in.shape[0]
+    L = scene.n_lights
+    pad = (-c) % (BR * LANES)
+    cp = c + pad
+
+    feats = ([d_in[:, i] for i in range(3)]
+             + [p[:, i] for i in range(3)]
+             + [normal[:, i] for i in range(3)]
+             + [albedo[:, i] for i in range(3)]
+             + [fuzz, ior]
+             + [ub[:, i] for i in range(9)]
+             + [gb[:, i] for i in range(6)])
+    planes = jnp.stack([_plane(x, pad, cp) for x in feats])
+    kind_p = _plane(kind.astype(jnp.int32), pad, cp)
+    gplanes = jnp.stack(
+        [_plane(x[:, i], pad, cp) for x in (g.emitted, g.weight,
+                                            g.direction) for i in range(3)])
+    lt = _light_table(scene)
+
+    cr = cp // LANES
+    grid = (cr // BR,)
+    dpl, dlt = pl.pallas_call(
+        _make_bwd_kernel(L),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N_DATA + N_RNG, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lt.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((9, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_DATA, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_DATA, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 8, LANES), jnp.float32),
+        ],
+        interpret=_pi.INTERPRET,
+    )(planes, kind_p, lt, gplanes)
+
+    flat = dpl.reshape(N_DATA, cp)[:, :c]
+    d_d_in, d_p = flat[0:3].T, flat[3:6].T
+    d_normal, d_albedo = flat[6:9].T, flat[9:12].T
+    d_fuzz, d_ior = flat[12], flat[13]
+    d_lt = dlt[:, 0, :L * LT_COLS].sum(0).reshape(L, LT_COLS) if L \
+        else None
+    return d_d_in, d_p, d_normal, d_albedo, d_fuzz, d_ior, d_lt
+
+
+def _scene_cotangent(scene, d_lt):
+    """SceneData cotangent from light-table gradients: float0 for
+    integer leaves, zeros for float leaves, light_c/r/q/u/v filled."""
+    _, vjp = jax.vjp(lambda s: jnp.concatenate(
+        [s.light_c, s.light_r[:, None], s.light_q, s.light_u, s.light_v],
+        axis=1), scene)
+    cols = d_lt[:, 1:] if d_lt is not None else jnp.zeros(
+        (scene.n_lights, LT_COLS - 1), jnp.float32)
+    (scene_ct,) = vjp(cols)
+    return scene_ct
+
+
 @jax.custom_vjp
 def shade_fused(scene, d_in, p, normal, albedo, kind, fuzz, ior, key):
     return _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
@@ -439,17 +590,16 @@ def _fwd(scene, d_in, p, normal, albedo, kind, fuzz, ior, key):
 
 
 def _bwd(res, g):
+    # one fused plane-layout kernel: vjp of the identical plane core the
+    # forward ran, around the identical sampled path (the exported
+    # randoms). ub/gb cotangents are never formed (detached sampling).
     scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb, key = res
-    # the XLA core is the differentiable reference; the kernel exported
-    # the randoms it consumed, so the linearization is taken around the
-    # identical sampled path. ub/gb cotangents are discarded (detached
-    # sampling: randoms are constants of the estimator).
-    _, vjp = jax.vjp(shade_core, scene, d_in, p, normal, albedo, kind,
-                     fuzz, ior, ub, gb)
-    grads = vjp(g)
-    import numpy as _np
-    key_ct = _np.zeros(jnp.shape(key), jax.dtypes.float0)
-    return grads[:8] + (key_ct,)
+    dd, dp, dn, da, df, di, d_lt = _shade_bwd_pallas(
+        scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb, g)
+    scene_ct = _scene_cotangent(scene, d_lt)
+    kind_ct = np.zeros(jnp.shape(kind), jax.dtypes.float0)
+    key_ct = np.zeros(jnp.shape(key), jax.dtypes.float0)
+    return (scene_ct, dd, dp, dn, da, kind_ct, df, di, key_ct)
 
 
 shade_fused.defvjp(_fwd, _bwd)

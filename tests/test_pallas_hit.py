@@ -100,3 +100,45 @@ def test_fused_hit_grads_match():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-6)
     assert (np.asarray(g_ref) != 0).any()
+
+
+def test_fused_hit_grads_rays_and_tables():
+    """Backward-kernel parity for ray inputs (o, d, time) and the
+    triangle/quad scene tables (the gather-transpose scatter-adds)."""
+    import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
+
+    sd = mixed_scene()
+    rng = np.random.default_rng(5)
+    C = 256
+    o = jnp.asarray(rng.uniform(-3, 3, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.asarray(rng.random(C), jnp.float32)
+    med_u = jnp.asarray(rng.random((C, sd.n_media)), jnp.float32)
+
+    def loss(sd2, o2, d2, t2):
+        h = intersect(sd2, o2, d2, t2, med_u)
+        w = jnp.where(h.hit, 1.0, 0.0)
+        return (jnp.sum(w * jnp.where(jnp.isfinite(h.t), h.t, 0.0))
+                + jnp.sum(h.p * w[:, None]) + jnp.sum(h.normal)
+                + jnp.sum(h.u * h.v)) * 1e-3
+
+    def grads(sd2, o2, d2, t2):
+        g_sd, g_o, g_d, g_t = jax.grad(loss, argnums=(0, 1, 2, 3),
+                                       allow_int=True)(sd2, o2, d2, t2)
+        return (g_sd.tri_v0, g_sd.tri_e1, g_sd.quad_q, g_sd.sph_c0,
+                g_o, g_d, g_t)
+
+    g_ref = grads(sd, o, d, tt)
+    real = pkm.on_tpu
+    pkm.on_tpu = lambda: True
+    try:
+        g_got = grads(sd, o, d, tt)
+    finally:
+        pkm.on_tpu = real
+    names = ("tri_v0", "tri_e1", "quad_q", "sph_c0", "o", "d", "time")
+    some_nonzero = False
+    for a, b, name in zip(g_ref, g_got, names):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5, err_msg=name)
+        some_nonzero |= bool((np.asarray(a) != 0).any())
+    assert some_nonzero

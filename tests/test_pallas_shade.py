@@ -99,3 +99,43 @@ def test_fused_grad_matches_core_grad():
     for a, b in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_grad_scene_and_geometry():
+    """The fused backward kernel must reproduce vjp(shade_core) for the
+    light-table (scene) gradients — reduced in-kernel to scalars — and
+    for the geometric inputs d_in/p/normal."""
+    sd = scene_with_lights()
+    args = rand_inputs(256, seed=11)
+    key = jax.random.PRNGKey(13)
+    _, ub, gb = _shade_pallas(sd, *args[:7], key=key)
+
+    def loss_core(sd_, d, p, n):
+        sc = shade_core(sd_, d, p, n, args[3], args[4], args[5], args[6],
+                        ub, gb)
+        return (jnp.sum(sc.weight * jnp.arange(3.0))
+                + jnp.sum(sc.emitted) + jnp.sum(sc.direction ** 2))
+
+    def loss_fused(sd_, d, p, n):
+        sc = shade_fused(sd_, d, p, n, args[3], args[4], args[5], args[6],
+                         key)
+        return (jnp.sum(sc.weight * jnp.arange(3.0))
+                + jnp.sum(sc.emitted) + jnp.sum(sc.direction ** 2))
+
+    g_ref = jax.grad(loss_core, argnums=(0, 1, 2, 3), allow_int=True)(
+        sd, *args[:3])
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2, 3), allow_int=True)(
+        sd, *args[:3])
+    for leaf in ("light_c", "light_r", "light_q", "light_u", "light_v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_got[0], leaf)),
+            np.asarray(getattr(g_ref[0], leaf)),
+            rtol=2e-4, atol=1e-4, err_msg=leaf)
+    # every other scene float leaf must be exactly zero in both
+    for i, (a, b) in enumerate(zip(jax.tree.leaves(g_ref[0]),
+                                   jax.tree.leaves(g_got[0]))):
+        if a.dtype == jnp.float32 and a.size:
+            assert np.isfinite(np.asarray(b)).all()
+    for a, b, name in zip(g_ref[1:], g_got[1:], ("d_in", "p", "normal")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-4, err_msg=name)
