@@ -7,10 +7,16 @@ a SIMD machine, dead or alive, so this is the work the chip really does.
 
 ``vs_baseline``: the reference publishes no numbers (README is usage-only;
 BASELINE.json "published": {}), and no Rust toolchain exists in this image
-to measure it, so the denominator is a documented ESTIMATE of the Rust
-tracer's CPU throughput: ~60 Mrays/s-equivalent (3.1k-LoC Shirley-style
-recursive tracer on a ~32-core rayon pool; single-core Shirley tracers
-measure ~1-3 Mrays/s on a modern core at depth-4 with BVH over 1k tris).
+to measure it, so the denominator is MEASURED with tools/ref_baseline.cpp:
+an original C++ reimplementation of the reference's per-ray suzanne
+workload (flat median-split BVH + Möller–Trumbore + depth-4 cosine/light
+mixture estimator, the reference's own glTF camera, same lane-ray
+accounting as this file). On this machine it measures 23.35 Mrays/s on
+one core and 81.73 Mrays/s on all 4 cores (2026-08-17; rebuild with
+`python tools/measure_baseline.py`). The lean flat-array design should be
+at least as fast per ray as the reference's Arc<dyn Hittable> pointer
+tree, so 81.7 is a CONSERVATIVE (upper-bound) denominator. Full
+derivation: BASELINE.md "vs_baseline derivation".
 
 Prints ONE JSON line: {"metric","value","unit","vs_baseline"}.
 """
@@ -34,7 +40,10 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_CPU_MRAYS_ESTIMATE = 60.0
+# measured by tools/measure_baseline.py on this 4-core host (see module
+# docstring + BASELINE.md); forward-only workload vs our fwd+bwd metric,
+# which biases the ratio AGAINST us — kept anyway, gradients are the point
+REF_CPU_MRAYS_MEASURED = 81.73
 
 WIDTH, HEIGHT, SPP, DEPTH = 512, 288, 4, 4
 
@@ -83,7 +92,7 @@ def main():
         "metric": "suzanne_fwd_bwd_mrays_per_s_per_chip",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / REF_CPU_MRAYS_ESTIMATE, 3),
+        "vs_baseline": round(mrays / REF_CPU_MRAYS_MEASURED, 3),
     }))
 
 
