@@ -383,6 +383,9 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
         lambda x: lax.stop_gradient(x) if isinstance(x, jnp.ndarray) else x,
         scene)
 
+    from rust_ray_tracer_tpu.models.scene import CLUSTER
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
     best_t = jnp.full((c,), INF)
     best_kind = jnp.zeros((c,), jnp.int32)
     best_idx = jnp.zeros((c,), jnp.int32)
@@ -395,16 +398,29 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
         best_kind = jnp.where(better, kind, best_kind)
         best_idx = jnp.where(better, idx, best_idx)
 
-    if scene.n_tris:
-        feats = _ray_features(os, ds)
-        t_tri, i_tri = _tri_candidates(scene_s, feats, os, ds, t_min, t_max)
-        consider(KIND_TRI, t_tri, i_tri.astype(jnp.int32))
-    if scene.n_spheres:
-        t_sph, i_sph = _sph_candidates(scene_s, os, ds, ts, t_min, t_max)
-        consider(KIND_SPH, t_sph, i_sph.astype(jnp.int32))
-    if scene.n_quads:
-        t_qud, i_qud = _quad_candidates(scene_s, os, ds, t_min, t_max)
-        consider(KIND_QUAD, t_qud, i_qud.astype(jnp.int32))
+    # tris + sub-CLUSTER sphere/quad tables search in ONE kernel,
+    # cross-kind winner included (tie precedence tri > sphere > quad
+    # preserved in-kernel); larger sphere/quad tables keep their own
+    # cluster-culled kernels and fold via consider()
+    unified = (pk.UNIFIED and pk.on_tpu() and not _no_pallas()
+               and 0 < scene.n_spheres + scene.n_quads + scene.n_tris
+               and scene.n_spheres < CLUSTER and scene.n_quads < CLUSTER)
+    if unified:
+        best_t, best_kind, best_idx = pk.fused_search(
+            scene_s, os, ds, ts, t_min, t_max)
+    else:
+        if scene.n_tris:
+            feats = _ray_features(os, ds)
+            t_tri, i_tri = _tri_candidates(scene_s, feats, os, ds,
+                                           t_min, t_max)
+            consider(KIND_TRI, t_tri, i_tri.astype(jnp.int32))
+        if scene.n_spheres:
+            t_sph, i_sph = _sph_candidates(scene_s, os, ds, ts,
+                                           t_min, t_max)
+            consider(KIND_SPH, t_sph, i_sph.astype(jnp.int32))
+        if scene.n_quads:
+            t_qud, i_qud = _quad_candidates(scene_s, os, ds, t_min, t_max)
+            consider(KIND_QUAD, t_qud, i_qud.astype(jnp.int32))
     if scene.n_media:
         assert med_u is not None, "scene has media: med_u uniforms required"
         t_med = _med_t(scene_s, os, ds, lax.stop_gradient(med_u), t_min)

@@ -58,6 +58,7 @@ BC = 256                # rays per tile
 BT = CLUSTER            # triangles per tile == one culling cluster
 
 INTERPRET = False       # tests set True to run the kernel on CPU
+UNIFIED = True          # ablation toggle: one-kernel phase-1 search
 
 
 def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
@@ -227,3 +228,275 @@ def on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except RuntimeError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Unified phase-1 search: triangles + small sphere/quad tables + the
+# cross-kind argmin in ONE kernel.
+#
+# The per-kind design (tri_search + sph/quad XLA paths + consider()
+# where-chains in ops/intersect.py) leaves a string of [C]-sized XLA
+# fusion islands between kernels every bounce. Here the sub-CLUSTER
+# sphere/quad tables ride along as single [*, 128] VMEM blocks evaluated
+# at the last cluster step, and the winner (t, kind, index) leaves the
+# kernel already selected — phase 1 becomes one kernel + the XLA feats
+# build + one slab-mask pre-pass.
+#
+# Plücker features stay XLA-side (like tri_search): two earlier variants
+# assembled them in-kernel from (o, d) — per cluster step, then once per
+# ray tile into VMEM scratch — and both measured SLOWER (fwd 78ms vs
+# 58ms per suzanne wave; tools/ablate_phase1.py). [BC,1] column slices
+# of a packed ray block are cross-lane relayouts Mosaic pays for on
+# every grid step, and the scratch write serializes the cluster
+# pipeline. o/d for the last-step sphere/quad fold are read from the
+# feats block's columns instead (6 relayouts once per tile).
+#
+# Cross-kind tie-break preserved: the reference considers list members
+# in order with a strictly-shrinking t_max (geometry/mod.rs:67-82), and
+# ops/intersect.consider() ordered tri < sphere < quad; folding spheres
+# then quads AFTER the final tri cluster with strict < reproduces that
+# precedence exactly.
+# ---------------------------------------------------------------------------
+
+_K_TRI, _K_SPH, _K_QUAD = 1, 2, 3     # == intersect.KIND_* (stable ABI)
+
+
+def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
+                       k_last: int):
+    def kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
+               time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
+               bt_ref, bk_ref, bi_ref):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+
+        @pl.when(tj == 0)
+        def _init():
+            bt_ref[:] = jnp.full_like(bt_ref, jnp.inf)
+            bk_ref[:] = jnp.zeros_like(bk_ref)
+            bi_ref[:] = jnp.zeros_like(bi_ref)
+
+        def fold(loc_t, loc_i, kind):
+            better = loc_t < bt_ref[:]
+            bi_ref[:] = jnp.where(better, loc_i, bi_ref[:])
+            bk_ref[:] = jnp.where(better, jnp.int32(kind), bk_ref[:])
+            bt_ref[:] = jnp.where(better, loc_t, bt_ref[:])
+
+        if has_tri:
+            @pl.when(mask_ref[ti, tj] > 0)
+            def _tri():
+                f = feats_ref[:]                        # [BC, 10]
+                tmin = tmin_ref[:]                      # [BC, 1]
+                tmax = tmax_ref[:]
+                dot = functools.partial(
+                    jax.lax.dot_general,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                det = dot(f, det_ref[:])                # [BC, BT]
+                u_num = dot(f, u_ref[:])
+                v_num = dot(f, v_ref[:])
+                t_num = dot(f, t_ref[:])
+                safe = jnp.where(jnp.abs(det) > TRI_DET_EPS, det, 1.0)
+                inv = 1.0 / safe
+                u = u_num * inv
+                v = v_num * inv
+                t = t_num * inv
+                dbl = dbl_ref[:]                        # [1, BT]
+                side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS)
+                                                 & (dbl > 0.5))
+                valid = (side_ok & (u >= 0.0) & (u <= 1.0)
+                         & (v >= 0.0) & (v < 1.0 - u)
+                         & (t >= tmin) & (t <= tmax))
+                tt = jnp.where(valid, t, jnp.inf)
+                loc_t = jnp.min(tt, axis=1, keepdims=True)
+                loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
+                         + tj * BT)
+                fold(loc_t, loc_i, _K_TRI)
+
+        @pl.when(tj == k_last)
+        def _small_tables():
+            f = feats_ref[:]                            # [BC, 10]
+
+            def rcol(i):
+                return f[:, i:i + 1]                    # [BC, 1]
+
+            ox, oy, oz = rcol(0), rcol(1), rcol(2)
+            dx, dy, dz = rcol(3), rcol(4), rcol(5)
+            time, tmin, tmax = time_ref[:], tmin_ref[:], tmax_ref[:]
+            if has_sph:
+                sph = sph_ref[:]                        # [9, SP]
+
+                def srow(i):
+                    return sph[i:i + 1, :]              # [1, SP]
+
+                c0x, c0y, c0z = srow(0), srow(1), srow(2)
+                e1x, e1y, e1z = srow(3), srow(4), srow(5)
+                st0, inv_dt, r = srow(6), srow(7), srow(8)
+                frac = (time - st0) * inv_dt            # [BC, SP]
+                cx = c0x + frac * e1x
+                cy = c0y + frac * e1y
+                cz = c0z + frac * e1z
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                a = dx * dx + dy * dy + dz * dz
+                b = ocx * dx + ocy * dy + ocz * dz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - a * cc
+                ok = disc > 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 1e-12)) * (disc > 0)
+                inv_a = 1.0 / jnp.maximum(a, 1e-12)
+                root1 = (-b - sq) * inv_a
+                root2 = (-b + sq) * inv_a
+                ok1 = ok & (root1 >= tmin) & (root1 <= tmax)
+                ok2 = ok & (root2 >= tmin) & (root2 <= tmax)
+                t = jnp.where(ok1, root1,
+                              jnp.where(ok2, root2, jnp.inf))
+                loc_t = jnp.min(t, axis=1, keepdims=True)
+                loc_i = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+                fold(loc_t, loc_i, _K_SPH)
+            if has_quad:
+                qd = quad_ref[:]                        # [9, QP]
+
+                def qrow(i):
+                    return qd[i:i + 1, :]
+
+                qx, qy, qz = qrow(0), qrow(1), qrow(2)
+                ux, uy, uz = qrow(3), qrow(4), qrow(5)
+                vx, vy, vz = qrow(6), qrow(7), qrow(8)
+                wnx = uy * vz - uz * vy
+                wny = uz * vx - ux * vz
+                wnz = ux * vy - uy * vx
+                denom = dx * wnx + dy * wny + dz * wnz  # [BC, QP]
+                dsafe = jnp.where(jnp.abs(denom) < 1e-12,
+                                  jnp.where(denom < 0, -1e-12, 1e-12),
+                                  denom)
+                t = ((qx - ox) * wnx + (qy - oy) * wny
+                     + (qz - oz) * wnz) / dsafe
+                wx = ox + t * dx - qx
+                wy = oy + t * dy - qy
+                wz = oz + t * dz - qz
+                n2 = wnx * wnx + wny * wny + wnz * wnz
+                inv_n2 = 1.0 / jnp.maximum(n2, 1e-12)
+                alpha = ((wy * vz - wz * vy) * wnx
+                         + (wz * vx - wx * vz) * wny
+                         + (wx * vy - wy * vx) * wnz) * inv_n2
+                beta = ((uy * wz - uz * wy) * wnx
+                        + (uz * wx - ux * wz) * wny
+                        + (ux * wy - uy * wx) * wnz) * inv_n2
+                valid = ((jnp.abs(denom) > 0.0)
+                         & (t >= tmin) & (t <= tmax)
+                         & (alpha >= 0.0) & (alpha <= 1.0)
+                         & (beta >= 0.0) & (beta <= 1.0))
+                tt = jnp.where(valid, t, jnp.inf)
+                loc_t = jnp.min(tt, axis=1, keepdims=True)
+                loc_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
+                fold(loc_t, loc_i, _K_QUAD)
+
+    return kernel
+
+
+def fused_search(scene, o, d, time, t_min, t_max):
+    """One-kernel phase 1: returns (best_t [C], best_kind [C] int32,
+    best_idx [C] int32) over triangles + (< CLUSTER) spheres and quads.
+
+    Caller guarantees scene.n_spheres < CLUSTER and n_quads < CLUSTER
+    (bigger tables use their own cluster-culled kernels); media are
+    folded by the caller in XLA.
+    """
+    from rust_ray_tracer_tpu.ops.intersect import _ray_features, _tri_coeffs
+
+    c = o.shape[0]
+    t_n = scene.tri_v0.shape[0]
+    s_n = scene.sph_c0.shape[0]
+    q_n = scene.quad_q.shape[0]
+    has_tri, has_sph, has_quad = t_n > 0, s_n > 0, q_n > 0
+
+    feats = _pad_axis(_ray_features(o, d), BC, 0, 0.0)
+    time_p = _pad_axis(time[:, None], BC, 0, 0.0)
+    tmin_p = _pad_axis(t_min[:, None], BC, 0, 0.0)
+    tmax_p = _pad_axis(t_max[:, None], BC, 0, -1.0)  # pad rays: no window
+    cp = feats.shape[0]
+
+    if has_tri:
+        det_c, u_c, v_c, t_c = _tri_coeffs(scene.tri_v0, scene.tri_e1,
+                                           scene.tri_e2)
+        det_p = _pad_axis(det_c, BT, 1, 0.0)
+        u_p = _pad_axis(u_c, BT, 1, 0.0)
+        v_p = _pad_axis(v_c, BT, 1, 0.0)
+        t_p = _pad_axis(t_c, BT, 1, 0.0)
+        dbl_p = _pad_axis(scene.tri_double.astype(jnp.float32)[None, :],
+                          BT, 1, 0.0)
+        k = det_p.shape[1] // BT
+        mask = _tile_cluster_mask(
+            feats[:, 0:3], feats[:, 3:6],
+            scene.tri_cluster_min, scene.tri_cluster_max,
+            tmin_p[:, 0],
+            jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0]))
+    else:
+        det_p = u_p = v_p = t_p = jnp.zeros((10, BT), jnp.float32)
+        dbl_p = jnp.zeros((1, BT), jnp.float32)
+        k = 1
+        mask = jnp.zeros((cp // BC, 1), jnp.int32)
+
+    # sphere table [9, SP]: far-pad rows give disc = inf - inf = NaN,
+    # rejected on every comparison path (see ops/pallas_sphere.py)
+    SP = CLUSTER
+    sph = jnp.zeros((9, SP), jnp.float32).at[0:3, :].set(1e30)
+    if has_sph:
+        dt = scene.sph_t1 - scene.sph_t0
+        inv_dt = 1.0 / jnp.where(jnp.abs(dt) < 1e-12,
+                                 jnp.where(dt < 0, -1e-12, 1e-12), dt)
+        real = jnp.stack([
+            scene.sph_c0[:, 0], scene.sph_c0[:, 1], scene.sph_c0[:, 2],
+            scene.sph_c1[:, 0] - scene.sph_c0[:, 0],
+            scene.sph_c1[:, 1] - scene.sph_c0[:, 1],
+            scene.sph_c1[:, 2] - scene.sph_c0[:, 2],
+            scene.sph_t0, inv_dt, scene.sph_r], axis=0)
+        sph = sph.at[:, :s_n].set(real[:, :s_n])
+
+    # quad table [9, QP]: zero-edge pads have |denom| == 0 -> invalid
+    QP = CLUSTER
+    quad = jnp.zeros((9, QP), jnp.float32)
+    if has_quad:
+        real = jnp.concatenate(
+            [scene.quad_q.T, scene.quad_u.T, scene.quad_v.T], axis=0)
+        quad = quad.at[:, :q_n].set(real[:, :q_n])
+
+    coeff_spec = pl.BlockSpec((10, BT), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    best_t, best_k, best_i = pl.pallas_call(
+        _make_fused_kernel(has_tri, has_sph, has_quad, k - 1),
+        grid=(cp // BC, k),
+        in_specs=[
+            pl.BlockSpec(mask.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BC, 10), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            coeff_spec, coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec((1, BT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec((9, SP), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, QP), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cp * 10 * 4 * k * BT + cp * (SP + QP) * 40,
+            transcendentals=0,
+            bytes_accessed=cp * 16 * 4 + 4 * 10 * k * BT * 4),
+        interpret=INTERPRET,
+    )(mask, feats, det_p, u_p, v_p, t_p, dbl_p,
+      time_p, tmin_p, tmax_p, sph, quad)
+
+    bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]
+    if has_tri:
+        bi = jnp.where(bk == _K_TRI, jnp.minimum(bi, t_n - 1), bi)
+    return bt, bk, bi

@@ -141,3 +141,60 @@ def test_cull_is_conservative_through_integrator():
                                np.asarray(h_k.t)[m], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(h_xla.mat)[m],
                                   np.asarray(h_k.mat)[m])
+
+
+def test_unified_search_multicluster_mixed():
+    """fused_search (tris spanning several clusters + spheres + quads,
+    in-kernel Plücker features, cross-kind select) vs the XLA
+    consider-chain, including dead lanes and motion-blur times."""
+    from rust_ray_tracer_tpu.ops.intersect import intersect
+
+    rng = np.random.default_rng(9)
+    world = []
+    mats = [S.Lambertian.from_rgb(0.5, 0.5, 0.5),
+            S.Metal((0.9, 0.8, 0.7), 0.1)]
+    for i in range(400):     # > 3 clusters of 128
+        v0 = rng.uniform(-4, 4, 3).astype(np.float32)
+        v0[2] -= 6.0
+        e = rng.uniform(-0.4, 0.4, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[i % 2],
+                                double_sided=bool(i % 3)))
+    for i in range(5):
+        c = rng.uniform(-3, 3, 3).astype(np.float32)
+        c[2] -= 5.0
+        world.append(S.Sphere(c, 0.5, mats[0]))
+    world.append(S.MovingSphere((0, 0, -3), (1, 0, -3), 0.0, 1.0, 0.4,
+                                mats[1]))
+    world.append(S.XZRect(-3, 3, -8, -3, -2.0, mats[0]))
+    world.append(S.Cuboid((2, -2, -5), (3, -1, -4), mats[1]))
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)))
+    assert sd.n_tris > 3 * CLUSTER and sd.n_spheres and sd.n_quads
+
+    C = 600
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.asarray(rng.random(C), jnp.float32)
+    t_max = jnp.where(jnp.arange(C) % 7 == 0, -1.0, jnp.inf)  # dead lanes
+
+    h_xla = intersect(sd, o, d, tt, t_max=t_max)
+
+    import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
+
+    real_on_tpu = pkm.on_tpu
+    pkm.on_tpu = lambda: True
+    try:
+        h_k = intersect(sd, o, d, tt, t_max=t_max)
+    finally:
+        pkm.on_tpu = real_on_tpu
+
+    np.testing.assert_array_equal(np.asarray(h_xla.hit), np.asarray(h_k.hit))
+    m = np.asarray(h_xla.hit)
+    assert m.any() and (~m).any()
+    np.testing.assert_allclose(np.asarray(h_xla.t)[m],
+                               np.asarray(h_k.t)[m], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(h_xla.mat)[m],
+                                  np.asarray(h_k.mat)[m])
+    np.testing.assert_allclose(np.asarray(h_xla.normal)[m],
+                               np.asarray(h_k.normal)[m],
+                               rtol=2e-4, atol=2e-5)
