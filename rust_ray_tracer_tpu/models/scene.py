@@ -56,7 +56,8 @@ LIGHT_NULL = 2       # Hittable defaults: pdf=0, random=(1,0,0)
 
 PERLIN_N = 256       # perlin.rs:6 (const generic N)
 
-CLUSTER = 128        # triangles per culling cluster (one kernel tile)
+CLUSTER = 128        # min triangles per culling cluster (one kernel tile)
+MAX_CLUSTERS = 512   # cap on cluster count K — see compile_scene
 
 
 # ---------------------------------------------------------------------------
@@ -654,18 +655,33 @@ def _morton_argsort(centroids: np.ndarray) -> np.ndarray:
 
 
 def compile_scene(scene: Scene, seed: int = 0,
-                  tri_pad: int = CLUSTER, pad: int = 8) -> SceneData:
+                  tri_pad: int | None = None, pad: int = 8) -> SceneData:
     """Flatten a host Scene into device arrays.
 
-    Triangles are Morton-sorted (so CLUSTER-sized index ranges are
+    Triangles are Morton-sorted (so cluster-sized index ranges are
     spatially compact) and padded to a multiple of ``tri_pad`` with
     degenerate zero-edge triangles (det == 0, can never hit) so the
     intersection matmul tiles cleanly on the MXU; per-cluster AABBs are
     emitted for kernel-side culling. Other kinds pad to ``pad`` with
     radius-0 spheres / zero-edge quads.
+
+    ``tri_pad`` (= triangles per culling cluster) scales with the mesh:
+    CLUSTER (128) up to 64k triangles, then doubling so the cluster
+    count K stays <= MAX_CLUSTERS. Both the [C, K] XLA slab-mask
+    pre-pass and the kernel's (ray-tile x cluster) grid are linear in K,
+    so a fixed 128-wide cluster would cost 7800 grid steps/tile and a
+    72M-pair mask at 1M triangles; capping K trades cull granularity
+    (1/512 of the Morton curve per cluster — still spatially tight) for
+    a bounded pre-pass. The kernels derive the cluster width from the
+    compiled shapes, so no constant threads through the call chain.
     """
     b = _Builder()
     b.add(scene.world, _affine(), False)
+
+    if tri_pad is None:
+        tri_pad = CLUSTER
+        while len(b.tris) > MAX_CLUSTERS * tri_pad:
+            tri_pad *= 2
 
     # --- lights: only bare Sphere / XZRect have sampling (see LIGHT_* docs)
     l_kind, l_c, l_r, l_q, l_u, l_v = [], [], [], [], [], []
@@ -718,9 +734,9 @@ def compile_scene(scene: Scene, seed: int = 0,
         hi = corners.max(1)
         lo[n_real:] = np.inf
         hi[n_real:] = -np.inf
-        k = tn // CLUSTER
-        cl_min = lo.reshape(k, CLUSTER, 3).min(1)
-        cl_max = hi.reshape(k, CLUSTER, 3).max(1)
+        k = tn // tri_pad
+        cl_min = lo.reshape(k, tri_pad, 3).min(1)
+        cl_max = hi.reshape(k, tri_pad, 3).max(1)
         # empty clusters (all-pad) keep inverted boxes (min > max); the
         # mask pre-pass rejects them explicitly (min <= max check in
         # ops/pallas_intersect._tile_cluster_mask)

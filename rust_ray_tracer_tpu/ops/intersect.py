@@ -79,8 +79,23 @@ def _ray_features(o, d):
 def _tri_coeffs(v0, e1, e2):
     """Four [10, T] coefficient matrices (det, u_num, v_num, t_num):
     each Möller–Trumbore quantity is linear in the ray features
-    [o, d, o×d, 1] (module docstring)."""
+    [o, d, o×d, 1] (module docstring).
+
+    All four are pre-scaled by 1/|e1×e2| so the determinant column
+    yields ``det = -d·n̂`` (≤ |d|) regardless of triangle size. The
+    u/v/t RATIOS are unchanged (numerator and denominator share the
+    scale), but the degeneracy test becomes scale-invariant:
+    ``|det| > TRI_DET_EPS·|d|`` is a pure angle test. The reference's
+    absolute ``det > 1e-5`` (triangle.rs:42) silently rejects EVERY
+    triangle of a millimetre-scale mesh (MetalRoughSpheres edges are
+    ~1e-5 units, dets ~1e-10) — an upstream latent bug it never hits
+    because its importer cannot load that asset; see the quirk ledger
+    (SURVEY.md §7 / PARITY.md). Zero-area pads keep det == 0 (the
+    guard divisor is 1) and can never pass the test."""
     n = jnp.cross(e1, e2)
+    nl = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+    inv_n = 1.0 / jnp.where(nl > 0, nl, 1.0)
+    n = n * inv_n
     z = jnp.zeros_like(v0)
     zs = jnp.zeros(v0.shape[:-1], v0.dtype)
 
@@ -90,8 +105,8 @@ def _tri_coeffs(v0, e1, e2):
             [o_c.T, d_c.T, m_c.T, one_c[None, :]], axis=0)
 
     det = col(z, -n, z, zs)
-    u_num = col(z, -jnp.cross(e2, v0), e2, zs)
-    v_num = col(z, -jnp.cross(v0, e1), -e1, zs)
+    u_num = col(z, -jnp.cross(e2, v0) * inv_n, e2 * inv_n, zs)
+    v_num = col(z, -jnp.cross(v0, e1) * inv_n, -e1 * inv_n, zs)
     t_num = col(n, z, z, -jnp.sum(v0 * n, axis=-1))
     return det, u_num, v_num, t_num
 
@@ -107,8 +122,12 @@ def _tri_quants(o, d, v0, e1, e2):
     return det, u_num, v_num, t_num, n
 
 
-def _tri_valid(det, u, v, t, double, t_min, t_max):
-    side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS) & double)
+def _tri_valid(det, u, v, t, double, t_min, t_max, dn):
+    """``dn`` = |d| per ray ([C,1]): with unit-normal-scaled coefficients
+    (_tri_coeffs) the test ``|det| > EPS·|d|`` is scale-invariant
+    (pure grazing-angle cutoff)."""
+    eps = TRI_DET_EPS * dn
+    side_ok = (det > eps) | ((det < -eps) & double)
     return (side_ok & (u >= 0.0) & (u <= 1.0)
             & (v >= 0.0) & (v < 1.0 - u)
             & (t >= t_min) & (t <= t_max))
@@ -139,8 +158,9 @@ def _tri_candidates(scene, feats, o, d, t_min, t_max):
     u = la.safe_div(dot(feats, u_c), det)
     v = la.safe_div(dot(feats, v_c), det)
     t = la.safe_div(dot(feats, t_c), det)
+    dn = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
     valid = _tri_valid(det, u, v, t, scene.tri_double[None, :],
-                       t_min[:, None], t_max[:, None])
+                       t_min[:, None], t_max[:, None], dn)
     tt = jnp.where(valid, t, INF)
     idx = jnp.argmin(tt, axis=1)
     return jnp.take_along_axis(tt, idx[:, None], axis=1)[:, 0], idx

@@ -55,7 +55,8 @@ from rust_ray_tracer_tpu.models.scene import CLUSTER
 
 TRI_DET_EPS = 1e-5      # triangle.rs:42
 BC = 256                # rays per tile
-BT = CLUSTER            # triangles per tile == one culling cluster
+BT = CLUSTER            # min triangles per tile (cluster width is
+                        # derived per scene: see tri_search)
 
 INTERPRET = False       # tests set True to run the kernel on CPU
 UNIFIED = True          # ablation toggle: one-kernel phase-1 search
@@ -63,7 +64,6 @@ UNIFIED = True          # ablation toggle: one-kernel phase-1 search
 
 def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
             tmin_ref, tmax_ref, best_t_ref, best_i_ref):
-    ti = pl.program_id(0)
     tj = pl.program_id(1)
 
     @pl.when(tj == 0)
@@ -71,7 +71,9 @@ def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
         best_t_ref[:] = jnp.full_like(best_t_ref, jnp.inf)
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
-    @pl.when(mask_ref[ti, tj] > 0)
+    # mask rows travel in 8-row SMEM blocks (Mosaic wants the leading
+    # block dim divisible by 8); this tile's row is program_id(0) % 8
+    @pl.when(mask_ref[pl.program_id(0) % 8, tj] > 0)
     def _compute():
         f = feats_ref[:]                                # [BC, 10]
         dot = functools.partial(
@@ -84,7 +86,13 @@ def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
         v_num = dot(f, v_ref[:])
         t_num = dot(f, t_ref[:])
 
-        safe = jnp.where(jnp.abs(det) > TRI_DET_EPS, det, 1.0)
+        # scale-invariant degeneracy cutoff: coefficients carry 1/|n|
+        # (intersect._tri_coeffs) so |det| <= |d| and EPS·|d| is a pure
+        # grazing-angle test — absolute EPS broke millimetre meshes
+        dn = jnp.sqrt(jnp.sum(f[:, 3:6] * f[:, 3:6], axis=1,
+                              keepdims=True))           # [BC, 1]
+        eps = TRI_DET_EPS * dn
+        safe = jnp.where(jnp.abs(det) > eps, det, 1.0)
         inv = 1.0 / safe
         u = u_num * inv
         v = v_num * inv
@@ -93,8 +101,7 @@ def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
         dbl = dbl_ref[:]                                # [1, BT] float
         tmin = tmin_ref[:]                              # [BC, 1]
         tmax = tmax_ref[:]
-        side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS)
-                                         & (dbl > 0.5))
+        side_ok = (det > eps) | ((det < -eps) & (dbl > 0.5))
         valid = (side_ok & (u >= 0.0) & (u <= 1.0)
                  & (v >= 0.0) & (v < 1.0 - u)
                  & (t >= tmin) & (t <= tmax))
@@ -102,7 +109,7 @@ def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
 
         loc_t = jnp.min(tt, axis=1, keepdims=True)      # [BC, 1]
         loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
-                 + tj * BT)
+                 + tj * det_ref.shape[1])
 
         better = loc_t < best_t_ref[:]
         best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
@@ -167,30 +174,33 @@ def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max,
       cl_min, cl_max: [T/CLUSTER, 3] cluster AABBs (inverted = empty).
 
     Returns (best_t [C] — inf on miss, best_idx [C] int32).
+
+    The cluster width is DERIVED from the shapes — ``det_c.shape[1] //
+    cl_min.shape[0]`` — so compile_scene's adaptive clustering (CLUSTER
+    at suzanne scale, wider for big meshes to cap K) needs no plumbing.
     """
     c, t_n = feats.shape[0], det_c.shape[1]
+    k = cl_min.shape[0]
+    bt = t_n // k
+    assert bt * k == t_n and bt % CLUSTER == 0, (t_n, k)
     feats_p = _pad_axis(feats, BC, 0, 0.0)
-    # pad triangles with zero coefficients -> det == 0 -> never valid
-    det_p = _pad_axis(det_c, BT, 1, 0.0)
-    u_p = _pad_axis(u_c, BT, 1, 0.0)
-    v_p = _pad_axis(v_c, BT, 1, 0.0)
-    t_p = _pad_axis(t_c, BT, 1, 0.0)
-    dbl_p = _pad_axis(double.astype(jnp.float32)[None, :], BT, 1, 0.0)
+    # pad triangles (compile_scene): zero coeffs -> det == 0 -> invalid
+    det_p, u_p, v_p, t_p = det_c, u_c, v_c, t_c
+    dbl_p = double.astype(jnp.float32)[None, :]
     tmin_p = _pad_axis(t_min[:, None], BC, 0, 0.0)
     tmax_p = _pad_axis(t_max[:, None], BC, 0, -1.0)  # pad rays: no window
     o_p = _pad_axis(o, BC, 0, 0.0)
     d_p = _pad_axis(d, BC, 0, 0.0)
 
-    cp, tp = feats_p.shape[0], det_p.shape[1]
-    k = tp // BT
-    assert cl_min.shape[0] == k, (cl_min.shape, k)
+    cp = feats_p.shape[0]
     grid = (cp // BC, k)
 
-    mask = _tile_cluster_mask(
+    mask = _pad_axis(_tile_cluster_mask(
         o_p, d_p, cl_min, cl_max,
-        tmin_p[:, 0], jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0]))
+        tmin_p[:, 0],
+        jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0])), 8, 0, 0)
 
-    coeff_spec = pl.BlockSpec((10, BT), lambda i, j: (0, j),
+    coeff_spec = pl.BlockSpec((10, bt), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -198,14 +208,15 @@ def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max,
         _kernel,
         grid=grid,
         in_specs=[
-            # whole [Ci, K] mask in SMEM (tiny); indexed by program ids —
-            # Mosaic forbids (1,1) blocking of SMEM operands
-            pl.BlockSpec(mask.shape, lambda i, j: (0, 0),
+            # 8 [*, K] mask rows per SMEM block (8*K*4 bytes — the whole
+            # [Ci, K] array would outgrow SMEM at big-mesh K; Mosaic
+            # requires the leading block dim to be a multiple of 8)
+            pl.BlockSpec((8, k), lambda i, j: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BC, 10), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             coeff_spec, coeff_spec, coeff_spec, coeff_spec,
-            pl.BlockSpec((1, BT), lambda i, j: (0, j),
+            pl.BlockSpec((1, bt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             ray_spec, ray_spec,
         ],
@@ -215,8 +226,8 @@ def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max,
             jax.ShapeDtypeStruct((cp, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * cp * 10 * 4 * tp, transcendentals=0,
-            bytes_accessed=cp * (10 + 2 + 2) * 4 + 4 * 10 * tp * 4),
+            flops=2 * cp * 10 * 4 * t_n, transcendentals=0,
+            bytes_accessed=cp * (10 + 2 + 2) * 4 + 4 * 10 * t_n * 4),
         interpret=INTERPRET,
     )(mask, feats_p, det_p, u_p, v_p, t_p, dbl_p, tmin_p, tmax_p)
 
@@ -263,8 +274,8 @@ _K_TRI, _K_SPH, _K_QUAD = 1, 2, 3     # == intersect.KIND_* (stable ABI)
 
 def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                        k_last: int):
-    def kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
-               time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
+    def kernel(ids_ref, cnt_ref, feats_ref, det_ref, u_ref, v_ref, t_ref,
+               dbl_ref, time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                bt_ref, bk_ref, bi_ref):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
@@ -282,7 +293,11 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
             bt_ref[:] = jnp.where(better, loc_t, bt_ref[:])
 
         if has_tri:
-            @pl.when(mask_ref[ti, tj] > 0)
+            # compacted sweep: step j processes cluster ids_ref[ti, j];
+            # steps past this tile's survivor count repeat the last id
+            # (index map pins the block -> the pipeline skips the DMA)
+            # and skip compute here
+            @pl.when(tj < cnt_ref[ti])
             def _tri():
                 f = feats_ref[:]                        # [BC, 10]
                 tmin = tmin_ref[:]                      # [BC, 1]
@@ -296,21 +311,24 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                 u_num = dot(f, u_ref[:])
                 v_num = dot(f, v_ref[:])
                 t_num = dot(f, t_ref[:])
-                safe = jnp.where(jnp.abs(det) > TRI_DET_EPS, det, 1.0)
+                # scale-invariant cutoff (see _kernel / _tri_coeffs)
+                dn = jnp.sqrt(jnp.sum(f[:, 3:6] * f[:, 3:6], axis=1,
+                                      keepdims=True))   # [BC, 1]
+                eps = TRI_DET_EPS * dn
+                safe = jnp.where(jnp.abs(det) > eps, det, 1.0)
                 inv = 1.0 / safe
                 u = u_num * inv
                 v = v_num * inv
                 t = t_num * inv
                 dbl = dbl_ref[:]                        # [1, BT]
-                side_ok = (det > TRI_DET_EPS) | ((det < -TRI_DET_EPS)
-                                                 & (dbl > 0.5))
+                side_ok = (det > eps) | ((det < -eps) & (dbl > 0.5))
                 valid = (side_ok & (u >= 0.0) & (u <= 1.0)
                          & (v >= 0.0) & (v < 1.0 - u)
                          & (t >= tmin) & (t <= tmax))
                 tt = jnp.where(valid, t, jnp.inf)
                 loc_t = jnp.min(tt, axis=1, keepdims=True)
                 loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
-                         + tj * BT)
+                         + ids_ref[ti, tj] * det_ref.shape[1])
                 fold(loc_t, loc_i, _K_TRI)
 
         @pl.when(tj == k_last)
@@ -417,25 +435,32 @@ def fused_search(scene, o, d, time, t_min, t_max):
     cp = feats.shape[0]
 
     if has_tri:
-        det_c, u_c, v_c, t_c = _tri_coeffs(scene.tri_v0, scene.tri_e1,
+        det_p, u_p, v_p, t_p = _tri_coeffs(scene.tri_v0, scene.tri_e1,
                                            scene.tri_e2)
-        det_p = _pad_axis(det_c, BT, 1, 0.0)
-        u_p = _pad_axis(u_c, BT, 1, 0.0)
-        v_p = _pad_axis(v_c, BT, 1, 0.0)
-        t_p = _pad_axis(t_c, BT, 1, 0.0)
-        dbl_p = _pad_axis(scene.tri_double.astype(jnp.float32)[None, :],
-                          BT, 1, 0.0)
-        k = det_p.shape[1] // BT
+        dbl_p = scene.tri_double.astype(jnp.float32)[None, :]
+        k = scene.tri_cluster_min.shape[0]
+        bt = det_p.shape[1] // k
+        assert bt * k == det_p.shape[1] and bt % CLUSTER == 0, \
+            (det_p.shape, k)
         mask = _tile_cluster_mask(
             feats[:, 0:3], feats[:, 3:6],
             scene.tri_cluster_min, scene.tri_cluster_max,
             tmin_p[:, 0],
             jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0]))
     else:
-        det_p = u_p = v_p = t_p = jnp.zeros((10, BT), jnp.float32)
-        dbl_p = jnp.zeros((1, BT), jnp.float32)
+        bt = BT
+        det_p = u_p = v_p = t_p = jnp.zeros((10, bt), jnp.float32)
+        dbl_p = jnp.zeros((1, bt), jnp.float32)
         k = 1
         mask = jnp.zeros((cp // BC, 1), jnp.int32)
+
+    # compact the mask into per-tile survivor id lists: step j of tile i
+    # sweeps cluster ids[i, j]; past cnt[i] the index map repeats the
+    # last survivor, so the pipeline skips both the DMA and the compute.
+    # A stable argsort keeps surviving ids ASCENDING, preserving the
+    # dense sweep's equal-t tie-break (lowest triangle index wins).
+    cnt = jnp.sum(mask, axis=1, dtype=jnp.int32)               # [Ci]
+    ids = jnp.argsort(1 - mask, axis=1, stable=True).astype(jnp.int32)
 
     # sphere table [9, SP]: far-pad rows give disc = inf - inf = NaN,
     # rejected on every comparison path (see ops/pallas_sphere.py)
@@ -461,39 +486,46 @@ def fused_search(scene, o, d, time, t_min, t_max):
             [scene.quad_q.T, scene.quad_u.T, scene.quad_v.T], axis=0)
         quad = quad.at[:, :q_n].set(real[:, :q_n])
 
-    coeff_spec = pl.BlockSpec((10, BT), lambda i, j: (0, j),
+    def cluster_ix(i, j, ids_r, cnt_r):
+        # survivor j of tile i; past the count, pin to the last survivor
+        # (same block index -> the pipeline elides the copy)
+        return (0, ids_r[i, jnp.minimum(j, jnp.maximum(cnt_r[i] - 1, 0))])
+
+    coeff_spec = pl.BlockSpec((10, bt), cluster_ix,
                               memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((BC, 1), lambda i, j: (i, 0),
+    ray_spec = pl.BlockSpec((BC, 1), lambda i, j, ids_r, cnt_r: (i, 0),
                             memory_space=pltpu.VMEM)
+    fix_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j, ids_r, cnt_r: (0, 0),
+        memory_space=pltpu.VMEM)
     best_t, best_k, best_i = pl.pallas_call(
         _make_fused_kernel(has_tri, has_sph, has_quad, k - 1),
-        grid=(cp // BC, k),
-        in_specs=[
-            pl.BlockSpec(mask.shape, lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((BC, 10), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            coeff_spec, coeff_spec, coeff_spec, coeff_spec,
-            pl.BlockSpec((1, BT), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((9, SP), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, QP), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[ray_spec, ray_spec, ray_spec],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,            # ids, cnt
+            grid=(cp // BC, k),
+            in_specs=[
+                pl.BlockSpec((BC, 10), lambda i, j, ids_r, cnt_r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                coeff_spec, coeff_spec, coeff_spec, coeff_spec,
+                pl.BlockSpec((1, bt), cluster_ix,
+                             memory_space=pltpu.VMEM),
+                ray_spec, ray_spec, ray_spec,
+                fix_spec((9, SP)),
+                fix_spec((9, QP)),
+            ],
+            out_specs=[ray_spec, ray_spec, ray_spec],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((cp, 1), jnp.float32),
             jax.ShapeDtypeStruct((cp, 1), jnp.int32),
             jax.ShapeDtypeStruct((cp, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * cp * 10 * 4 * k * BT + cp * (SP + QP) * 40,
+            flops=2 * cp * 10 * 4 * k * bt + cp * (SP + QP) * 40,
             transcendentals=0,
-            bytes_accessed=cp * 16 * 4 + 4 * 10 * k * BT * 4),
+            bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4),
         interpret=INTERPRET,
-    )(mask, feats, det_p, u_p, v_p, t_p, dbl_p,
+    )(ids, cnt, feats, det_p, u_p, v_p, t_p, dbl_p,
       time_p, tmin_p, tmax_p, sph, quad)
 
     bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]

@@ -61,9 +61,14 @@ class Oracle:
             v0, e1, e2 = self.tri_v0[i], self.tri_e1[i], self.tri_e2[i]
             p = np.cross(d, e2)
             det = e1 @ p
-            if det < 1e-5 and not (self.tri_double[i] and det < -1e-5):
+            # scale-invariant grazing cutoff (matches _tri_coeffs'
+            # unit-normal scaling: |det| > EPS·|d|·|n|); the reference's
+            # absolute 1e-5 rejects every triangle of a millimetre mesh
+            eps = 1e-5 * np.linalg.norm(d) * np.linalg.norm(
+                np.cross(e1, e2))
+            if det < eps and not (self.tri_double[i] and det < -eps):
                 continue
-            if abs(det) < 1e-5:
+            if abs(det) < eps or eps == 0.0:
                 continue
             tv = o - v0
             u = (tv @ p) / det

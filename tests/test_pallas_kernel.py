@@ -40,11 +40,13 @@ def xla_reference(v0, e1, e2, dbl, o, d, t_min, t_max):
                  0)
     t = np.where(np.abs(det) > 0, (feats @ t_c) / np.where(det == 0, 1, det),
                  0)
+    dn = np.linalg.norm(d, axis=-1, keepdims=True).astype(np.float32)
     valid = np.asarray(_tri_valid(jnp.asarray(det), jnp.asarray(u),
                                   jnp.asarray(v), jnp.asarray(t),
                                   jnp.asarray(dbl)[None, :],
                                   jnp.asarray(t_min)[:, None],
-                                  jnp.asarray(t_max)[:, None]))
+                                  jnp.asarray(t_max)[:, None],
+                                  jnp.asarray(dn)))
     tt = np.where(valid, t, np.inf)
     idx = tt.argmin(1)
     return tt[np.arange(len(idx)), idx], idx
@@ -198,3 +200,57 @@ def test_unified_search_multicluster_mixed():
     np.testing.assert_allclose(np.asarray(h_xla.normal)[m],
                                np.asarray(h_k.normal)[m],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_adaptive_cluster_width():
+    """Big meshes get wider clusters (K capped at MAX_CLUSTERS) and the
+    kernels derive the width from the compiled shapes: same scene
+    compiled at cluster 128 and 256 must intersect identically."""
+    from rust_ray_tracer_tpu.models.scene import MAX_CLUSTERS
+    from rust_ray_tracer_tpu.ops.intersect import intersect
+
+    rng = np.random.default_rng(11)
+    mats = [S.Lambertian.from_rgb(0.5, 0.5, 0.5)]
+    world = []
+    for i in range(300):
+        v0 = rng.uniform(-4, 4, 3).astype(np.float32)
+        v0[2] -= 6.0
+        e = rng.uniform(-0.5, 0.5, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[0],
+                                double_sided=True))
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    scene = S.Scene(cam, world, [], (0, 0, 0))
+    sd128 = compile_scene(scene, tri_pad=128)
+    sd256 = compile_scene(scene, tri_pad=256)
+    assert sd128.tri_cluster_min.shape[0] == 3   # ceil(300/128)
+    assert sd256.tri_cluster_min.shape[0] == 2
+
+    # the adaptive default picks 128 here (small mesh) and the doubling
+    # rule caps K for huge ones
+    assert compile_scene(scene).tri_v0.shape[0] % 128 == 0
+    tri_pad, n = 128, MAX_CLUSTERS * 128 + 1
+    while n > MAX_CLUSTERS * tri_pad:
+        tri_pad *= 2
+    assert tri_pad == 256
+
+    C = 500
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.zeros(C, jnp.float32)
+
+    import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
+    real_on_tpu = pkm.on_tpu
+    pkm.on_tpu = lambda: True
+    try:
+        h128 = intersect(sd128, o, d, tt)
+        h256 = intersect(sd256, o, d, tt)
+    finally:
+        pkm.on_tpu = real_on_tpu
+
+    np.testing.assert_array_equal(np.asarray(h128.hit), np.asarray(h256.hit))
+    m = np.asarray(h128.hit)
+    assert m.any()
+    np.testing.assert_allclose(np.asarray(h128.t)[m],
+                               np.asarray(h256.t)[m], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h128.mat)[m],
+                                  np.asarray(h256.mat)[m])
