@@ -299,3 +299,165 @@ def test_sphere_pole_uv_grads_finite():
     g = jax.grad(loss)(partition(base)[0])
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def _inward_box(lo, hi, mat):
+    """12 triangles wound so cross(e1,e2) points INTO the box: hits from
+    inside are front faces, so a DiffuseLight material emits
+    (material/mod.rs:171-194 front-face rule)."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+
+    def v(x, y, z):
+        return np.array([x, y, z], np.float32)
+
+    faces = [
+        (v(x0, y0, z0), v(0, y1 - y0, 0), v(0, 0, z1 - z0)),
+        (v(x1, y0, z0), v(0, 0, z1 - z0), v(0, y1 - y0, 0)),
+        (v(x0, y0, z0), v(0, 0, z1 - z0), v(x1 - x0, 0, 0)),
+        (v(x0, y1, z0), v(x1 - x0, 0, 0), v(0, 0, z1 - z0)),
+        (v(x0, y0, z0), v(x1 - x0, 0, 0), v(0, y1 - y0, 0)),
+        (v(x0, y0, z1), v(0, y1 - y0, 0), v(x1 - x0, 0, 0)),
+    ]
+    tris = []
+    for q, u, w in faces:
+        tris.append(S.Triangle(q, q + u, q + w, mat))
+        tris.append(S.Triangle(q + u + w, q + w, q + u, mat))
+    return tris
+
+
+class TestMetalRoughSpheresFD:
+    """Config-4 quantitative gradient evidence: FD-vs-autodiff ALLCLOSE
+    (rtol <= 5e-2) on the actual MetalRoughSpheres roughness (fuzz) and
+    baseColor parameters (the metallic->Metal mapping under test:
+    gltf.rs:147-168 / models/gltf.py).
+
+    Estimator discontinuities (silhouette crossings) are the classic
+    failure mode of detached-sampling gradients, so the harness makes
+    the integrand smooth BY CONSTRUCTION: the sphere grid sits inside a
+    marble-emissive dome (Perlin turbulence — smooth everywhere), scene
+    normalized to ~unit extent so hit-point motion per unit fuzz stays
+    below the turbulence wavelength, and both AD and central FD average
+    the same fixed key set (common random numbers)."""
+
+    KEYS = 8
+    N = 8192
+    # two complete metal spheres: fuzz 1/6 at tris [84800:95400),
+    # fuzz 1/3 at [243800:254400). Each gets ITS OWN scene: with any
+    # second sphere present, the scattered cone can graze its
+    # silhouette, whose discontinuous fuzz-dependence FD picks up but
+    # detached-sampling AD cannot (measured: a shared two-sphere scene
+    # left a persistent ~20% AD/FD gap; isolated scenes close it).
+    SPHERES = [(84800, 95400), (243800, 254400)]
+
+    @pytest.fixture(scope="class")
+    def rigs(self):
+        import os
+        path = ("/root/reference/assets/MetalRoughSpheres/"
+                "MetalRoughSpheres.gltf")
+        if not os.path.exists(path):
+            pytest.skip("MetalRoughSpheres not present")
+        from rust_ray_tracer_tpu.models.gltf import load_gltf_scene
+        from rust_ray_tracer_tpu.ops.integrator import trace_rays
+
+        sc = load_gltf_scene(path, 1.0)
+        keys = [jax.random.PRNGKey(i) for i in range(self.KEYS)]
+        camera = make_camera(np.eye(3, 4, dtype=np.float32), 45.0, 1.0)
+        rng = np.random.default_rng(7)
+        out = []
+        for a, b in self.SPHERES:
+            sub = list(sc.world[a:b])  # one full sphere: convex, no
+            vs = np.array([t.v0 for t in sub], np.float32)  # silhouettes
+            mn, mx = vs.min(0), vs.max(0)
+            scale = 1.0 / float((mx - mn).max())   # ~unit extent
+            sub = [S.Triangle(np.asarray(t.v0) * scale,
+                              np.asarray(t.v1) * scale,
+                              np.asarray(t.v2) * scale, t.material)
+                   for t in sub]
+            mn, mx = mn * scale, mx * scale
+            ctr = (mn + mx) / 2
+            # tight dome (margin 0.4): a short hit-point lever arm keeps
+            # the marble integrand smooth at the FD eps scale — measured
+            # AD/FD rel. err 0.012/0.026 here vs 0.141/0.087 at margin
+            # 1.0 (the eye sits OUTSIDE the box; its walls are inward-
+            # wound single-sided tris, so primaries pass through)
+            marble = S.DiffuseLight(S.Noise(0.7))
+            dome = _inward_box(mn - 0.4, mx + 0.4, marble)
+            base = compile_scene(S.Scene(camera, sub + dome, [],
+                                         (0, 0, 0)))
+
+            eye = ctr + np.array([0.0, 0.0, (mx - mn)[2] / 2 + 0.8],
+                                 np.float32)
+            # aim only at the camera-facing cap (cos >= 0.55):
+            # reflected·normal >= 0.55 and |fuzz·ball| <= 1/3 keeps the
+            # fuzzed direction above the surface for EVERY draw, so the
+            # metal_ok absorption boundary (mod.rs:99) — a discontinuous
+            # fuzz-dependence AD cannot see — is never crossed.
+            svs = vs * scale
+            nrm = svs - ctr
+            nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+            to_eye = eye[None, :] - svs   # exact per-vertex incidence
+            to_eye = to_eye / np.linalg.norm(to_eye, axis=1,
+                                             keepdims=True)
+            cap_vs = svs[(nrm * to_eye).sum(1) >= 0.55]
+            targets = cap_vs[rng.integers(0, len(cap_vs), self.N)]
+            o = jnp.broadcast_to(jnp.asarray(eye), (self.N, 3))
+            d = jnp.asarray(targets - np.asarray(o), jnp.float32)
+            t = jnp.zeros(self.N)
+
+            fuzz_ids = np.nonzero(np.asarray(base.mat_fuzz) > 0)[0]
+            assert len(fuzz_ids) == 1      # exactly this sphere's metal
+
+            def loss_k(sd, key, o=o, d=d, t=t):
+                return jnp.mean(trace_rays(sd, o, d, t, key, 2))
+
+            out.append((base, loss_k, int(fuzz_ids[0])))
+        return out, keys
+
+    def test_roughness_fd_allclose(self, rigs):
+        rig_list, keys = rigs
+        for base, loss_k, i in rig_list:
+            lk = jax.jit(loss_k)
+            gk = jax.jit(jax.grad(
+                lambda f, key, base=base, loss_k=loss_k:
+                    loss_k(base._replace(mat_fuzz=f), key)))
+
+            g = np.mean([np.asarray(gk(base.mat_fuzz, k))
+                         for k in keys], 0)
+            eps = 0.002
+
+            def loss(v):
+                sd = base._replace(
+                    mat_fuzz=base.mat_fuzz.at[i].set(jnp.float32(v)))
+                return float(np.mean([float(lk(sd, k)) for k in keys]))
+
+            f0 = float(base.mat_fuzz[i])
+            fd = (loss(f0 + eps) - loss(f0 - eps)) / (2 * eps)
+            assert np.isfinite(g[i]) and fd != 0.0
+            np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=2e-4)
+
+    def test_basecolor_fd_allclose(self, rigs):
+        rig_list, keys = rigs
+        for base, loss_k, i in rig_list:
+            lk = jax.jit(loss_k)
+            gk = jax.jit(jax.grad(
+                lambda tc, key, base=base, loss_k=loss_k:
+                    loss_k(base._replace(tex_color=tc), key)))
+
+            g = np.mean([np.asarray(gk(base.tex_color, k))
+                         for k in keys], 0)
+            eps = 0.01
+            ti = int(base.mat_tex[i])  # material -> its solid texture
+
+            def loss(v):
+                tc = base.tex_color.at[ti, 0].set(jnp.float32(v))
+                return float(np.mean(
+                    [float(lk(base._replace(tex_color=tc), k))
+                     for k in keys]))
+
+            c0 = float(base.tex_color[ti, 0])
+            fd = (loss(c0 + eps) - loss(c0 - eps)) / (2 * eps)
+            assert fd > 0.0            # more albedo -> more radiance
+            np.testing.assert_allclose(g[ti, 0], fd, rtol=5e-2)
