@@ -217,6 +217,14 @@ def final_scene(aspect: float, seed: int = 0) -> S.Scene:
                    background=(0, 0, 0))
 
 
+def _composite(aspect: float, seed: int = 0) -> S.Scene:
+    # 9th, non-reference scene (BASELINE config 5); lazy import keeps the
+    # glTF machinery out of pure-procedural paths. Needs the reference
+    # assets on disk -> raises FileNotFoundError when absent.
+    from rust_ray_tracer_tpu.models.composite import composite_scene
+    return composite_scene(aspect, seed)
+
+
 _BUILDERS = {
     "random": random_scene,
     "two_spheres": two_spheres,
@@ -226,6 +234,7 @@ _BUILDERS = {
     "cornell_box": cornell_box,
     "cornell_triangle": cornell_triangle,
     "final_scene": final_scene,
+    "composite": _composite,
 }
 
 

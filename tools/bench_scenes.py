@@ -1,0 +1,109 @@
+"""Per-scene TPU benchmark: forward and fwd+bwd Mrays/s at the bench shape.
+
+Covers the sphere-heavy procedural scenes (``random``/``final_scene`` —
+the pallas sphere/quad kernels' real workloads, scene.rs:33-92,288-391)
+and the config-5 ``composite`` multi-mesh scene, which the suzanne-only
+bench.py never exercises. One process so backend variance cancels.
+
+Usage: python tools/bench_scenes.py [scene ...]   (default: all three)
+Prints one JSON line per (scene, probe).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rust_ray_tracer_tpu.models import builders  # noqa: E402
+from rust_ray_tracer_tpu.models.scene import (combine, compile_scene,  # noqa: E402
+                                              partition)
+from rust_ray_tracer_tpu.ops.integrator import render_waves  # noqa: E402
+from rust_ray_tracer_tpu.ops.tonemap import tonemap_mean  # noqa: E402
+from rust_ray_tracer_tpu.utils.image import save_png  # noqa: E402
+
+WIDTH, HEIGHT, DEPTH, CHUNK = 512, 288, 4, 9216
+RENDER_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "renders")
+
+
+def bench_scene(name: str, iters: int = 6):
+    aspect = WIDTH / HEIGHT
+    sd = compile_scene(builders.get_scene(name, aspect))
+    print(json.dumps({"scene": name, "probe": "compile",
+                      "n_tris": int(sd.n_tris),
+                      "n_spheres": int(sd.n_spheres),
+                      "n_quads": int(sd.n_quads)}), flush=True)
+
+    diff, static = partition(sd)
+    key = jax.random.PRNGKey(0)
+
+    def one_wave(diff, key, wave):
+        return render_waves(combine(diff, static), WIDTH, HEIGHT, key,
+                            wave, 1, depth=DEPTH, chunk_size=CHUNK)
+
+    def loss_fn(diff, key, wave):
+        return jnp.mean(one_wave(diff, key, wave))
+
+    rays = WIDTH * HEIGHT * DEPTH
+    fwd = jax.jit(one_wave)
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    t0 = time.perf_counter()
+    img = fwd(diff, key, 0)
+    jax.block_until_ready(img)
+    fwd_compile = time.perf_counter() - t0
+    acc = np.asarray(img, np.float64)
+    t0 = time.perf_counter()
+    for wv in range(1, iters + 1):
+        img = fwd(diff, key, wv)
+        jax.block_until_ready(img)
+        acc += np.asarray(img, np.float64)
+    dt = (time.perf_counter() - t0) / iters
+    save_png(os.path.join(RENDER_DIR, f"{name}_bench.png"),
+             np.asarray(tonemap_mean(jnp.asarray(acc / (iters + 1),
+                                                 jnp.float32))))
+    print(json.dumps({"scene": name, "probe": "fwd",
+                      "compile_s": round(fwd_compile, 1),
+                      "ms_per_wave": round(dt * 1e3, 2),
+                      "mrays_per_s": round(rays / dt / 1e6, 2),
+                      "img_mean": round(float(acc.mean() / (iters + 1)), 4),
+                      "finite": bool(np.isfinite(acc).all())}), flush=True)
+
+    t0 = time.perf_counter()
+    loss, grads = step(diff, key, 0)
+    jax.block_until_ready((loss, grads))
+    step_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for wv in range(1, iters + 1):
+        loss, grads = step(diff, key, wv)
+        jax.block_until_ready((loss, grads))
+    dt = (time.perf_counter() - t0) / iters
+    leaves = jax.tree_util.tree_leaves(grads)
+    print(json.dumps({"scene": name, "probe": "fwd_bwd",
+                      "compile_s": round(step_compile, 1),
+                      "ms_per_wave": round(dt * 1e3, 2),
+                      "mrays_per_s": round(rays / dt / 1e6, 2),
+                      "grads_finite": bool(all(
+                          np.isfinite(np.asarray(g)).all()
+                          for g in leaves))}), flush=True)
+
+
+def main():
+    names = sys.argv[1:] or ["random", "final_scene", "composite"]
+    for name in names:
+        bench_scene(name)
+
+
+if __name__ == "__main__":
+    main()
