@@ -35,6 +35,18 @@ from rust_ray_tracer_tpu.utils import rng as rngu
 
 MAX_DEPTH = 4  # main.rs:56
 
+# Remat residuals saved per bounce (checkpoint names; see
+# ops/intersect.py and ops/shade.py for where each is tagged). Saving a
+# residual trades forward materialization (an HBM write XLA might have
+# fused away) against backward recompute — an empirical question.
+# Measured on suzanne (512x288 d4, v5e, one session,
+# tools/ablate_residuals.py): isect_sel only 91.8ms step; +shade_rand
+# 92.7 (threefry recompute is CHEAPER than materializing the blocks);
+# +isect_packs 86.7; +hit_attrs 84.1; +hit_attrs+albedo **82.8** (7.12
+# Mrays/s, the winner — backward skips the hit-attrs kernel forward and
+# the Perlin/texture recompute); all five 87.4.
+SAVE_NAMES = ("isect_sel", "hit_attrs", "albedo")
+
 
 def _bounce(scene, carry, bkey):
     """One wavefront bounce: intersect + shade + state update.
@@ -90,10 +102,11 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     alive = jnp.ones((c,), bool)
     keys = jax.vmap(partial(rngu.bounce_key, key))(jnp.arange(depth))
     if remat:
-        # save the [C]-sized detached intersection *selection* per bounce
-        # (see ops/intersect.py): backward recomputes shading but never
-        # the candidate-search kernels
-        policy = jax.checkpoint_policies.save_only_these_names("isect_sel")
+        # named per-bounce residuals (all [C]-sized): see SAVE_NAMES.
+        # The candidate-search kernels are skipped via "isect_sel"
+        # (ops/intersect.py).
+        policy = jax.checkpoint_policies.save_only_these_names(
+            *SAVE_NAMES)
         step = jax.checkpoint(partial(_bounce, scene), policy=policy)
     else:
         step = partial(_bounce, scene)

@@ -510,6 +510,15 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
 
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
 
+    # name the packed gathers and the attribute outputs as remat
+    # residuals: under the integrator's save policy the backward reuses
+    # them, so it re-runs NEITHER the [C,9] gathers NOR the hit-attrs
+    # kernel forward — only the custom bwd kernel + gather transposes
+    tri_pack = checkpoint_name(tri_pack, "isect_packs")
+    sph_pack = checkpoint_name(sph_pack, "isect_packs")
+    quad_pack = checkpoint_name(quad_pack, "isect_packs")
+    t_med_best = checkpoint_name(t_med_best, "isect_packs")
+
     if pk.on_tpu() and not _no_pallas():
         from rust_ray_tracer_tpu.ops.pallas_hit import hit_attrs_fused
         t, p, normal, uu, vv = hit_attrs_fused(
@@ -519,5 +528,10 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
         t, p, normal, uu, vv = hit_attrs_core(
             o, d, time, t_min, t_max, best_kind, flip,
             tri_pack, sph_pack, quad_pack, t_med_best)
+    t = checkpoint_name(t, "hit_attrs")
+    p = checkpoint_name(p, "hit_attrs")
+    normal = checkpoint_name(normal, "hit_attrs")
+    uu = checkpoint_name(uu, "hit_attrs")
+    vv = checkpoint_name(vv, "hit_attrs")
 
     return Hit(hit=hit_mask, t=t, p=p, normal=normal, u=uu, v=vv, mat=mat)

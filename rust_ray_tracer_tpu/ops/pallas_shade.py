@@ -11,11 +11,16 @@ is the stack ``[F, BR, 128]``. A ``[C, 3]`` vector is three planes. The
 tiny light table rides in SMEM and is looped over statically.
 
 **RNG.** The bounce's random budget (9 uniforms + 6 normals per ray) is
-generated INSIDE the forward kernel with the hardware PRNG
-(mantissa-bitcast uniforms, Box–Muller normals), seeded by the bounce
-key + tile id — no threefry sweeps on the hot path, still deterministic
-under any device or chunk assignment. The kernel exports the randoms it
-consumed as a second output.
+drawn XLA-side (threefry, same streams as :func:`ops.shade.shade_core`)
+and fed to the kernel as fifteen extra planes. An earlier revision
+generated it in-kernel with the hardware PRNG; that made pallas-vs-XLA
+renders statistically-decorrelated MC estimates (seed-to-seed mean
+spread ~6.5% at 8spp) and — worse — forced the remat backward to re-run
+the forward kernel just to regenerate the consumed randoms, because
+custom-VJP residuals born inside the kernel cannot be checkpoint-named.
+Threefry measured ~equal on the hot path ("already cheap", round-1
+ablation), so shared streams win: the two backends follow identical
+sampled paths and the random planes are nameable remat residuals.
 
 **Gradients.** ``shade_fused`` is a ``jax.custom_vjp``; the backward is
 a SECOND Pallas kernel (``_make_bwd_kernel``) that calls ``jax.vjp`` of
@@ -92,12 +97,6 @@ def _ball(gx, gy, gz, u):
     r = jnp.exp(jnp.log(jnp.maximum(u, 1e-30)) / 3.0)
     return dx * r, dy * r, dz * r
 
-
-def _bits_to_unit(bits):
-    """uint32 -> f32 in [0, 1) via mantissa bitcast (no int->float op)."""
-    f = pltpu.bitcast(
-        jnp.uint32(0x3F800000) | (bits >> jnp.uint32(9)), jnp.float32)
-    return f - 1.0
 
 
 def _plane_core(data, rng, kind, lt, n_lights):
@@ -336,39 +335,12 @@ def _read_lt(lt_ref, n_lights):
                  for l in range(n_lights))
 
 
-def _make_kernel(n_lights: int, in_kernel_rng: bool):
-    def kernel(planes_ref, kind_ref, lt_ref, seed_ref, out_ref, rng_ref):
-        P = planes_ref[:]                        # [F, BR, 128]
+def _make_kernel(n_lights: int):
+    def kernel(planes_ref, kind_ref, lt_ref, out_ref):
+        P = planes_ref[:]                        # [N_DATA+N_RNG, BR, 128]
         data = tuple(P[i] for i in range(N_DATA))
+        rng = tuple(P[N_DATA + i] for i in range(N_RNG))
         kind = kind_ref[:]                       # [BR, 128] int32
-
-        if in_kernel_rng:
-            # per-(chunk-key, tile) deterministic seed: same chunk on any
-            # device/loop assignment -> same randoms (utils/rng.py rules)
-            # Mosaic allows at most 2 seed values: mix the tile id into
-            # the second word (int32 mul wraps; deterministic)
-            pltpu.prng_seed(
-                seed_ref[0, 0],
-                seed_ref[0, 1] + pl.program_id(0) * jnp.int32(-1640531527))
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits((15,) + data[0].shape), jnp.uint32)
-            U = [_bits_to_unit(bits[i]) for i in range(15)]
-            # Box-Muller: 6 normals from 6 uniforms (U[9..14])
-            gs = []
-            for k in range(3):
-                r = jnp.sqrt(-2.0 * jnp.log(
-                    jnp.maximum(U[9 + 2 * k], 1e-12)))
-                th = 2.0 * PI * U[10 + 2 * k]
-                gs += [r * jnp.cos(th), r * jnp.sin(th)]
-            rng = tuple(U[:9]) + tuple(gs)
-            # export the consumed randoms so the custom-VJP backward can
-            # replay the identical sampled path
-            for i, v in enumerate(rng):
-                rng_ref[i] = v
-        else:
-            rng = tuple(P[N_DATA + i] for i in range(N_RNG))
-            for i in range(N_RNG):
-                rng_ref[i] = rng[i]
 
         outs = _plane_core(data, rng, kind, _read_lt(lt_ref, n_lights),
                            n_lights)
@@ -429,23 +401,10 @@ def _light_table(scene):
 
 
 def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
-                  key=None, ub=None, gb=None):
-    """Run the forward kernel. Returns (Scatter, ub, gb) where ub/gb are
-    the randoms actually consumed — generated in-kernel from ``key`` when
-    given (fast path), else echoed from the supplied blocks (interpret /
-    validation path)."""
+                  ub, gb):
+    """Run the forward kernel on XLA-drawn randoms. Returns a Scatter."""
     c = d_in.shape[0]
     L = scene.n_lights
-    in_rng = key is not None
-    if in_rng and _pi.INTERPRET:
-        # interpret mode has no pltpu.prng lowering on CPU: draw the
-        # randoms on the host and use the echo path (the custom VJP is
-        # agnostic — it replays whatever randoms come back)
-        ub = jax.random.uniform(key, (c, 9), dtype=jnp.float32)
-        gb = jax.random.normal(jax.random.fold_in(key, 1), (c, 6),
-                               dtype=jnp.float32)
-        in_rng = False
-        key = None
     pad = (-c) % (BR * LANES)
     cp = c + pad
 
@@ -453,55 +412,36 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
              + [p[:, i] for i in range(3)]
              + [normal[:, i] for i in range(3)]
              + [albedo[:, i] for i in range(3)]
-             + [fuzz, ior])
-    if not in_rng:
-        feats += [ub[:, i] for i in range(9)]
-        feats += [gb[:, i] for i in range(6)]
+             + [fuzz, ior]
+             + [ub[:, i] for i in range(9)]
+             + [gb[:, i] for i in range(6)])
     planes = jnp.stack([_plane(x, pad, cp) for x in feats])
     kind_p = _plane(kind.astype(jnp.int32), pad, cp)
 
     lt = _light_table(scene)
-    if in_rng:
-        seed = lax.bitcast_convert_type(
-            jnp.asarray(key, jnp.uint32), jnp.int32).reshape(1, -1)
-    else:
-        seed = jnp.zeros((1, 2), jnp.int32)
-
-    nf = planes.shape[0]
     cr = cp // LANES
     grid = (cr // BR,)
-    out, rng_out = pl.pallas_call(
-        _make_kernel(L, in_rng),
+    out = pl.pallas_call(
+        _make_kernel(L),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nf, BR, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_DATA + N_RNG, BR, LANES),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(seed.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((10, BR, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((15, BR, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((10, cr, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((15, cr, LANES), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((10, BR, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, cr, LANES), jnp.float32),
         interpret=_pi.INTERPRET,
-    )(planes, kind_p, lt, seed)
+    )(planes, kind_p, lt)
 
     flat = out.reshape(10, cp)[:, :c]
-    rflat = rng_out.reshape(15, cp)[:, :c]
-    sc = Scatter(
+    return Scatter(
         emitted=flat[0:3].T, weight=flat[3:6].T,
         direction=flat[6:9].T, alive=flat[9] > 0.5)
-    return sc, rflat[0:9].T, rflat[9:15].T
 
 
 def _shade_bwd_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
@@ -577,29 +517,30 @@ def _scene_cotangent(scene, d_lt):
 
 
 @jax.custom_vjp
-def shade_fused(scene, d_in, p, normal, albedo, kind, fuzz, ior, key):
+def shade_fused(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
     return _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
-                         key=key)[0]
+                         ub, gb)
 
 
-def _fwd(scene, d_in, p, normal, albedo, kind, fuzz, ior, key):
-    out, ub, gb = _shade_pallas(scene, d_in, p, normal, albedo, kind,
-                                fuzz, ior, key=key)
-    return out, (scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb,
-                 key)
+def _fwd(scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb):
+    out = _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
+                        ub, gb)
+    # residuals are exactly the inputs: under a named-save remat policy
+    # the backward never re-runs the forward kernel (ops/integrator.py)
+    return out, (scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb)
 
 
 def _bwd(res, g):
     # one fused plane-layout kernel: vjp of the identical plane core the
-    # forward ran, around the identical sampled path (the exported
-    # randoms). ub/gb cotangents are never formed (detached sampling).
-    scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb, key = res
+    # forward ran, around the identical sampled path (same random
+    # blocks). ub/gb cotangents are never formed (detached sampling).
+    scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb = res
     dd, dp, dn, da, df, di, d_lt = _shade_bwd_pallas(
         scene, d_in, p, normal, albedo, kind, fuzz, ior, ub, gb, g)
     scene_ct = _scene_cotangent(scene, d_lt)
     kind_ct = np.zeros(jnp.shape(kind), jax.dtypes.float0)
-    key_ct = np.zeros(jnp.shape(key), jax.dtypes.float0)
-    return (scene_ct, dd, dp, dn, da, kind_ct, df, di, key_ct)
+    return (scene_ct, dd, dp, dn, da, kind_ct, df, di,
+            jnp.zeros_like(ub), jnp.zeros_like(gb))
 
 
 shade_fused.defvjp(_fwd, _bwd)

@@ -33,6 +33,7 @@ from rust_ray_tracer_tpu.models.scene import (
     MAT_DIELECTRIC, MAT_ISOTROPIC, MAT_LAMBERTIAN, MAT_LIGHT, MAT_METAL)
 from rust_ray_tracer_tpu.ops import linalg as la
 from rust_ray_tracer_tpu.ops import sampling
+from jax.ad_checkpoint import checkpoint_name
 from rust_ray_tracer_tpu.ops.texture import texture_value
 from rust_ray_tracer_tpu.utils import rng as rngu
 
@@ -76,20 +77,28 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     tex = scene.mat_tex[hit.mat]
     # one packed float gather (-> one scatter-add in backward)
     mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[hit.mat]
-    albedo = texture_value(scene, tex, hit.u, hit.v, hit.p)
+    albedo = checkpoint_name(
+        texture_value(scene, tex, hit.u, hit.v, hit.p), "albedo")
 
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
     from rust_ray_tracer_tpu.ops.intersect import _no_pallas
-    if pk.on_tpu() and not _no_pallas():
-        # randoms are generated INSIDE the kernel (pltpu PRNG seeded by
-        # this bounce's key) — no threefry sweeps on the hot path
+    import os
+    # the bounce's entire random budget, drawn with the SAME threefry
+    # streams on both backends — pallas and XLA renders follow identical
+    # sampled paths (tools/verify_pallas_parity.py gate A is bitwise-
+    # comparable end to end). Named as remat residuals: the backward
+    # reuses the blocks instead of re-sweeping threefry.
+    ub = checkpoint_name(
+        jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
+                           dtype=f32), "shade_rand")
+    gb = checkpoint_name(
+        jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6),
+                          dtype=f32), "shade_rand")
+    if (pk.on_tpu() and not _no_pallas()
+            and os.environ.get("RRT_NO_PALLAS_SHADE", "") != "1"):
         from rust_ray_tracer_tpu.ops.pallas_shade import shade_fused
         return shade_fused(scene, d_in, hit.p, hit.normal, albedo, kind,
-                           mat_pack[:, 0], mat_pack[:, 1],
-                           rngu.stream(key, rngu.SCATTER))
-    ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
-                            dtype=f32)
-    gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6), dtype=f32)
+                           mat_pack[:, 0], mat_pack[:, 1], ub, gb)
     return shade_core(scene, d_in, hit.p, hit.normal, albedo, kind,
                       mat_pack[:, 0], mat_pack[:, 1], ub, gb)
 

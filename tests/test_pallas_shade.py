@@ -59,10 +59,7 @@ def test_fused_matches_core(n_lights):
         ], [], (0, 0, 0)))
     args = rand_inputs(300)
     ref = shade_core(sd, *args)
-    got, ub_echo, gb_echo = _shade_pallas(sd, *args[:7], ub=args[7],
-                                          gb=args[8])
-    np.testing.assert_allclose(np.asarray(ub_echo), np.asarray(args[7]))
-    np.testing.assert_allclose(np.asarray(gb_echo), np.asarray(args[8]))
+    got = _shade_pallas(sd, *args[:7], args[7], args[8])
     np.testing.assert_array_equal(np.asarray(ref.alive),
                                   np.asarray(got.alive))
     for name in ("emitted", "weight", "direction"):
@@ -75,10 +72,7 @@ def test_fused_grad_matches_core_grad():
     sd = scene_with_lights()
     args = rand_inputs(256, seed=3)
 
-    key = jax.random.PRNGKey(7)
-    # kernel-generated randoms: fetch them, then grads through the fused
-    # custom VJP must equal grads of shade_core at those same randoms
-    _, ub, gb = _shade_pallas(sd, *args[:7], key=key)
+    ub, gb = args[7], args[8]
 
     def loss_core(albedo, fuzz, ior):
         sc = shade_core(sd, args[0], args[1], args[2], albedo, args[4],
@@ -88,7 +82,7 @@ def test_fused_grad_matches_core_grad():
 
     def loss_fused(albedo, fuzz, ior):
         sc = shade_fused(sd, args[0], args[1], args[2], albedo, args[4],
-                         fuzz, ior, key)
+                         fuzz, ior, ub, gb)
         return (jnp.sum(sc.weight) + jnp.sum(sc.emitted)
                 + jnp.sum(sc.direction ** 2))
 
@@ -107,8 +101,7 @@ def test_fused_grad_scene_and_geometry():
     for the geometric inputs d_in/p/normal."""
     sd = scene_with_lights()
     args = rand_inputs(256, seed=11)
-    key = jax.random.PRNGKey(13)
-    _, ub, gb = _shade_pallas(sd, *args[:7], key=key)
+    ub, gb = args[7], args[8]
 
     def loss_core(sd_, d, p, n):
         sc = shade_core(sd_, d, p, n, args[3], args[4], args[5], args[6],
@@ -118,7 +111,7 @@ def test_fused_grad_scene_and_geometry():
 
     def loss_fused(sd_, d, p, n):
         sc = shade_fused(sd_, d, p, n, args[3], args[4], args[5], args[6],
-                         key)
+                         ub, gb)
         return (jnp.sum(sc.weight * jnp.arange(3.0))
                 + jnp.sum(sc.emitted) + jnp.sum(sc.direction ** 2))
 
