@@ -154,7 +154,8 @@ def render_waves(scene, width: int, height: int, key,
         L = lax.map(lambda c: render_chunk(scene, wkey, c, chunk_size,
                                            width, height, depth, remat),
                     jnp.arange(n_chunks))
-        return L.reshape(n_pad, 3)[:n].reshape(height, width, 3)
+        return cam_ops.image_from_positions(L.reshape(n_pad, 3)[:n],
+                                            width, height)
 
     def body(acc, i):
         return acc + one_wave(wave_start + i), None

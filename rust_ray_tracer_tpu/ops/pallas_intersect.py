@@ -60,6 +60,17 @@ BT = CLUSTER            # min triangles per tile (cluster width is
 
 INTERPRET = False       # tests set True to run the kernel on CPU
 UNIFIED = True          # ablation toggle: one-kernel phase-1 search
+INKERNEL_COEFFS = None  # build Plücker coefficient matrices inside the
+                        # kernel from packed [10, T] vertex rows
+                        # (40B/tri streamed) instead of streaming four
+                        # [10, T] coefficient tables (160B/tri).
+                        # None = auto (on for >= PACKED_MIN_TRIS, where
+                        # the sweep is HBM-streaming-bound); True/False
+                        # force it for ablation. Measured at suzanne
+                        # (VMEM-resident): packed fwd 52.9 vs 48.3
+                        # ms/wave — the in-kernel assembly only pays
+                        # when the mesh cannot live in VMEM.
+PACKED_MIN_TRIS = 65536
 
 
 def _kernel(mask_ref, feats_ref, det_ref, u_ref, v_ref, t_ref, dbl_ref,
@@ -159,6 +170,95 @@ def _tile_cluster_mask(o, d, cl_min, cl_max, t_min, t_max):
            & (enter <= t_max[:, None]) & window)
     ci = o.shape[0] // BC
     return jnp.any(hit.reshape(ci, BC, -1), axis=1).astype(jnp.int32)
+
+
+def _mask_kernel(o_ref, d_ref, tw_ref, clmin_ref, clmax_ref, mask_ref):
+    """One ray tile vs ALL cluster AABBs -> one [1, K] mask row.
+
+    Same slab test as _tile_cluster_mask, but tile-resident in VMEM: the
+    XLA version materializes [C, K, 3] broadcast intermediates in HBM —
+    measured 39.6ms per search at C=9216, K=508 (1M-tri MetalRough-
+    Spheres) vs <1ms here. Inverted (empty) cluster boxes are rejected
+    by the nonempty row; dead lanes (t_max <= t_min) contribute nothing.
+    """
+    eps = 1e-3
+    o = o_ref[:]                                  # [3, BC]
+    d = d_ref[:]
+    tw = tw_ref[:]                                # [2, BC] (t_min, t_max)
+    any_hit = None
+    nonempty = None
+    enter = None
+    exit_ = None
+    par_ok = None
+    for ax in range(3):
+        cmin = clmin_ref[ax:ax + 1, :]            # [1, K]
+        cmax = clmax_ref[ax:ax + 1, :]
+        ne = cmin <= cmax
+        nonempty = ne if nonempty is None else (nonempty & ne)
+        oa = o[ax:ax + 1, :].T                    # [BC, 1]
+        da = d[ax:ax + 1, :].T
+        small = jnp.abs(da) < 1e-12
+        inv = 1.0 / jnp.where(small, 1.0, da)
+        lo = (cmin - eps - oa) * inv              # [BC, K]
+        hi = (cmax + eps - oa) * inv
+        tlo = jnp.minimum(lo, hi)
+        thi = jnp.maximum(lo, hi)
+        tlo = jnp.where(small, -jnp.inf, tlo)
+        thi = jnp.where(small, jnp.inf, thi)
+        enter = tlo if enter is None else jnp.maximum(enter, tlo)
+        exit_ = thi if exit_ is None else jnp.minimum(exit_, thi)
+        pok = (~small) | ((oa >= cmin - eps) & (oa <= cmax + eps))
+        par_ok = pok if par_ok is None else (par_ok & pok)
+    tmin = tw[0:1, :].T                           # [BC, 1]
+    tmax = tw[1:2, :].T
+    window = tmax > tmin
+    hit = (nonempty & par_ok & (enter <= exit_)
+           & (exit_ >= tmin) & (enter <= tmax) & window)
+    # rows travel in 8-row blocks (Mosaic's minimum sublane tile); the
+    # block index i//8 repeats for 8 consecutive steps, so each step
+    # fills its own row r = i%8 of the persistent block
+    r = pl.program_id(0) % 8
+    mask_ref[pl.ds(r, 1), :] = jnp.any(
+        hit, axis=0, keepdims=True).astype(jnp.int32)
+
+
+def tile_cluster_mask_pallas(o, d, cl_min, cl_max, t_min, t_max):
+    """[Ci, K] int32 tile-cluster mask via the Pallas kernel.
+
+    Caller guarantees o/d/t are BC-padded (pad rays carry a collapsed
+    window). K is padded to the 128-lane boundary with empty boxes.
+    """
+    c = o.shape[0]
+    k = cl_min.shape[0]
+    kp = -(-k // 128) * 128
+    clmin_p = jnp.pad(cl_min.T, ((0, 0), (0, kp - k)),
+                      constant_values=jnp.inf)          # [3, Kp]
+    clmax_p = jnp.pad(cl_max.T, ((0, 0), (0, kp - k)),
+                      constant_values=-jnp.inf)
+    tw = jnp.stack([t_min, t_max], axis=0)              # [2, C]
+    ci = c // BC
+    ci_p = -(-ci // 8) * 8
+    mask = pl.pallas_call(
+        _mask_kernel,
+        grid=(ci,),
+        in_specs=[
+            pl.BlockSpec((3, BC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, kp), lambda i: (i // 8, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ci_p, kp), jnp.int32),
+        interpret=INTERPRET,
+    )(o.T, d.T, tw, clmin_p, clmax_p)
+    return mask[:ci, :k]
 
 
 def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max,
@@ -272,11 +372,95 @@ def on_tpu() -> bool:
 _K_TRI, _K_SPH, _K_QUAD = 1, 2, 3     # == intersect.KIND_* (stable ABI)
 
 
+def _coeffs_from_pack(pk):
+    """Plücker coefficient matrices [10, bt] from a packed vertex block
+    (rows 0-2 v0, 3-5 e1, 6-8 e2, row 9 double-sided flag).
+
+    Same formulas and operation order as intersect._tri_coeffs (which
+    documents the 1/|n| scaling); computed in-kernel so only 40B/tri
+    stream from HBM instead of four 40B coefficient tables. Zero-pad
+    triangles give n = 0 -> inv_n guard 1 -> all-zero coefficients ->
+    det == 0 -> invalid, exactly like the XLA-side tables.
+    """
+    def row(i):
+        return pk[i:i + 1, :]                           # [1, bt]
+
+    v0x, v0y, v0z = row(0), row(1), row(2)
+    e1x, e1y, e1z = row(3), row(4), row(5)
+    e2x, e2y, e2z = row(6), row(7), row(8)
+    dbl = row(9)
+
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv_n = 1.0 / jnp.where(nl > 0, nl, 1.0)
+    nhx, nhy, nhz = nx * inv_n, ny * inv_n, nz * inv_n
+
+    # cross(e2, v0) and cross(v0, e1), scaled by inv_n
+    c1x = (e2y * v0z - e2z * v0y) * inv_n
+    c1y = (e2z * v0x - e2x * v0z) * inv_n
+    c1z = (e2x * v0y - e2y * v0x) * inv_n
+    c2x = (v0y * e1z - v0z * e1y) * inv_n
+    c2y = (v0z * e1x - v0x * e1z) * inv_n
+    c2z = (v0x * e1y - v0y * e1x) * inv_n
+
+    z = jnp.zeros_like(v0x)
+    det_m = jnp.concatenate([z, z, z, -nhx, -nhy, -nhz, z, z, z, z], 0)
+    u_m = jnp.concatenate([z, z, z, -c1x, -c1y, -c1z,
+                           e2x * inv_n, e2y * inv_n, e2z * inv_n, z], 0)
+    v_m = jnp.concatenate([z, z, z, -c2x, -c2y, -c2z,
+                           -e1x * inv_n, -e1y * inv_n, -e1z * inv_n, z], 0)
+    t_m = jnp.concatenate(
+        [nhx, nhy, nhz, z, z, z, z, z, z,
+         -(v0x * nhx + v0y * nhy + v0z * nhz)], 0)
+    return det_m, u_m, v_m, t_m, dbl
+
+
+def _tri_eval_fold(f, det_m, u_m, v_m, t_m, dbl, tmin, tmax, cid, width,
+                   fold):
+    """Shared tri tile evaluation: Plücker dots -> epilogue -> fold.
+
+    ``cid`` is the (traced) cluster id this block came from; winning
+    triangle index = local argmin + cid * width.
+    """
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    det = dot(f, det_m)                             # [BC, bt]
+    u_num = dot(f, u_m)
+    v_num = dot(f, v_m)
+    t_num = dot(f, t_m)
+    # scale-invariant cutoff (see _kernel / _tri_coeffs)
+    dn = jnp.sqrt(jnp.sum(f[:, 3:6] * f[:, 3:6], axis=1,
+                          keepdims=True))           # [BC, 1]
+    eps = TRI_DET_EPS * dn
+    safe = jnp.where(jnp.abs(det) > eps, det, 1.0)
+    inv = 1.0 / safe
+    u = u_num * inv
+    v = v_num * inv
+    t = t_num * inv
+    side_ok = (det > eps) | ((det < -eps) & (dbl > 0.5))
+    valid = (side_ok & (u >= 0.0) & (u <= 1.0)
+             & (v >= 0.0) & (v < 1.0 - u)
+             & (t >= tmin) & (t <= tmax))
+    tt = jnp.where(valid, t, jnp.inf)
+    loc_t = jnp.min(tt, axis=1, keepdims=True)
+    loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
+             + cid * width)
+    fold(loc_t, loc_i, _K_TRI)
+
+
 def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
-                       k_last: int):
-    def kernel(ids_ref, cnt_ref, feats_ref, det_ref, u_ref, v_ref, t_ref,
-               dbl_ref, time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
-               bt_ref, bk_ref, bi_ref):
+                       k_last: int, packed: bool = False):
+    """``packed=False``: tri data arrives as four [10, bt] coefficient
+    blocks + a [1, bt] double-sided row. ``packed=True``: one [10, bt]
+    vertex block (v0/e1/e2/dbl rows) and the coefficients are built
+    in-kernel (_coeffs_from_pack) — 4x less HBM traffic per cluster."""
+    def impl(ids_ref, cnt_ref, feats_ref, tri_refs, time_ref, tmin_ref,
+             tmax_ref, sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
 
@@ -299,37 +483,16 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
             # and skip compute here
             @pl.when(tj < cnt_ref[ti])
             def _tri():
-                f = feats_ref[:]                        # [BC, 10]
-                tmin = tmin_ref[:]                      # [BC, 1]
-                tmax = tmax_ref[:]
-                dot = functools.partial(
-                    jax.lax.dot_general,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                det = dot(f, det_ref[:])                # [BC, BT]
-                u_num = dot(f, u_ref[:])
-                v_num = dot(f, v_ref[:])
-                t_num = dot(f, t_ref[:])
-                # scale-invariant cutoff (see _kernel / _tri_coeffs)
-                dn = jnp.sqrt(jnp.sum(f[:, 3:6] * f[:, 3:6], axis=1,
-                                      keepdims=True))   # [BC, 1]
-                eps = TRI_DET_EPS * dn
-                safe = jnp.where(jnp.abs(det) > eps, det, 1.0)
-                inv = 1.0 / safe
-                u = u_num * inv
-                v = v_num * inv
-                t = t_num * inv
-                dbl = dbl_ref[:]                        # [1, BT]
-                side_ok = (det > eps) | ((det < -eps) & (dbl > 0.5))
-                valid = (side_ok & (u >= 0.0) & (u <= 1.0)
-                         & (v >= 0.0) & (v < 1.0 - u)
-                         & (t >= tmin) & (t <= tmax))
-                tt = jnp.where(valid, t, jnp.inf)
-                loc_t = jnp.min(tt, axis=1, keepdims=True)
-                loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
-                         + ids_ref[ti, tj] * det_ref.shape[1])
-                fold(loc_t, loc_i, _K_TRI)
+                if packed:
+                    det_m, u_m, v_m, t_m, dbl = _coeffs_from_pack(
+                        tri_refs[0][:])
+                else:
+                    det_m, u_m, v_m, t_m = (r[:] for r in tri_refs[:4])
+                    dbl = tri_refs[4][:]
+                _tri_eval_fold(feats_ref[:], det_m, u_m, v_m, t_m, dbl,
+                               tmin_ref[:], tmax_ref[:],
+                               ids_ref[ti, tj], tri_refs[0].shape[1],
+                               fold)
 
         @pl.when(tj == k_last)
         def _small_tables():
@@ -409,6 +572,21 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                 loc_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
                 fold(loc_t, loc_i, _K_QUAD)
 
+    if packed:
+        def kernel(ids_ref, cnt_ref, feats_ref, pack_ref, time_ref,
+                   tmin_ref, tmax_ref, sph_ref, quad_ref,
+                   bt_ref, bk_ref, bi_ref):
+            impl(ids_ref, cnt_ref, feats_ref, (pack_ref,), time_ref,
+                 tmin_ref, tmax_ref, sph_ref, quad_ref,
+                 bt_ref, bk_ref, bi_ref)
+    else:
+        def kernel(ids_ref, cnt_ref, feats_ref, det_ref, u_ref, v_ref,
+                   t_ref, dbl_ref, time_ref, tmin_ref, tmax_ref,
+                   sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
+            impl(ids_ref, cnt_ref, feats_ref,
+                 (det_ref, u_ref, v_ref, t_ref, dbl_ref), time_ref,
+                 tmin_ref, tmax_ref, sph_ref, quad_ref,
+                 bt_ref, bk_ref, bi_ref)
     return kernel
 
 
@@ -434,23 +612,36 @@ def fused_search(scene, o, d, time, t_min, t_max):
     tmax_p = _pad_axis(t_max[:, None], BC, 0, -1.0)  # pad rays: no window
     cp = feats.shape[0]
 
+    packed = (t_n >= PACKED_MIN_TRIS if INKERNEL_COEFFS is None
+              else INKERNEL_COEFFS)
     if has_tri:
-        det_p, u_p, v_p, t_p = _tri_coeffs(scene.tri_v0, scene.tri_e1,
-                                           scene.tri_e2)
-        dbl_p = scene.tri_double.astype(jnp.float32)[None, :]
         k = scene.tri_cluster_min.shape[0]
-        bt = det_p.shape[1] // k
-        assert bt * k == det_p.shape[1] and bt % CLUSTER == 0, \
-            (det_p.shape, k)
-        mask = _tile_cluster_mask(
+        t_total = scene.tri_v0.shape[0]
+        bt = t_total // k
+        assert bt * k == t_total and bt % CLUSTER == 0, (t_total, k)
+        if packed:
+            # one [10, T] vertex table (v0/e1/e2/dbl rows): coefficients
+            # are built in-kernel, 40B/tri streamed instead of 160
+            tri_tabs = (jnp.concatenate(
+                [scene.tri_v0.T, scene.tri_e1.T, scene.tri_e2.T,
+                 scene.tri_double.astype(jnp.float32)[None, :]], axis=0),)
+        else:
+            det_p, u_p, v_p, t_p = _tri_coeffs(
+                scene.tri_v0, scene.tri_e1, scene.tri_e2)
+            dbl_p = scene.tri_double.astype(jnp.float32)[None, :]
+            tri_tabs = (det_p, u_p, v_p, t_p, dbl_p)
+        mask = tile_cluster_mask_pallas(
             feats[:, 0:3], feats[:, 3:6],
             scene.tri_cluster_min, scene.tri_cluster_max,
             tmin_p[:, 0],
             jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0]))
     else:
         bt = BT
-        det_p = u_p = v_p = t_p = jnp.zeros((10, bt), jnp.float32)
-        dbl_p = jnp.zeros((1, bt), jnp.float32)
+        if packed:
+            tri_tabs = (jnp.zeros((10, bt), jnp.float32),)
+        else:
+            tri_tabs = (jnp.zeros((10, bt), jnp.float32),) * 4 \
+                + (jnp.zeros((1, bt), jnp.float32),)
         k = 1
         mask = jnp.zeros((cp // BC, 1), jnp.int32)
 
@@ -498,17 +689,21 @@ def fused_search(scene, o, d, time, t_min, t_max):
     fix_spec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i, j, ids_r, cnt_r: (0, 0),
         memory_space=pltpu.VMEM)
+    if packed:
+        tri_specs = [coeff_spec]
+    else:
+        tri_specs = [coeff_spec] * 4 + [
+            pl.BlockSpec((1, bt), cluster_ix, memory_space=pltpu.VMEM)]
     best_t, best_k, best_i = pl.pallas_call(
-        _make_fused_kernel(has_tri, has_sph, has_quad, k - 1),
+        _make_fused_kernel(has_tri, has_sph, has_quad, k - 1,
+                           packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,            # ids, cnt
             grid=(cp // BC, k),
             in_specs=[
                 pl.BlockSpec((BC, 10), lambda i, j, ids_r, cnt_r: (i, 0),
                              memory_space=pltpu.VMEM),
-                coeff_spec, coeff_spec, coeff_spec, coeff_spec,
-                pl.BlockSpec((1, bt), cluster_ix,
-                             memory_space=pltpu.VMEM),
+                *tri_specs,
                 ray_spec, ray_spec, ray_spec,
                 fix_spec((9, SP)),
                 fix_spec((9, QP)),
@@ -525,7 +720,7 @@ def fused_search(scene, o, d, time, t_min, t_max):
             transcendentals=0,
             bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4),
         interpret=INTERPRET,
-    )(ids, cnt, feats, det_p, u_p, v_p, t_p, dbl_p,
+    )(ids, cnt, feats, *tri_tabs,
       time_p, tmin_p, tmax_p, sph, quad)
 
     bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]

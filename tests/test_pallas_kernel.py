@@ -145,10 +145,12 @@ def test_cull_is_conservative_through_integrator():
                                   np.asarray(h_k.mat)[m])
 
 
-def test_unified_search_multicluster_mixed():
+@pytest.mark.parametrize("packed", [False, True])
+def test_unified_search_multicluster_mixed(packed):
     """fused_search (tris spanning several clusters + spheres + quads,
-    in-kernel Plücker features, cross-kind select) vs the XLA
-    consider-chain, including dead lanes and motion-blur times."""
+    cross-kind select) vs the XLA consider-chain, including dead lanes
+    and motion-blur times — with both tri-table layouts (streamed
+    coefficient tables / packed vertices + in-kernel coeff build)."""
     from rust_ray_tracer_tpu.ops.intersect import intersect
 
     rng = np.random.default_rng(9)
@@ -185,10 +187,12 @@ def test_unified_search_multicluster_mixed():
 
     real_on_tpu = pkm.on_tpu
     pkm.on_tpu = lambda: True
+    pkm.INKERNEL_COEFFS = packed
     try:
         h_k = intersect(sd, o, d, tt, t_max=t_max)
     finally:
         pkm.on_tpu = real_on_tpu
+        pkm.INKERNEL_COEFFS = None
 
     np.testing.assert_array_equal(np.asarray(h_xla.hit), np.asarray(h_k.hit))
     m = np.asarray(h_xla.hit)

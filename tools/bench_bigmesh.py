@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=9216)
+    ap.add_argument("--tri-pad", type=int, default=None,
+                    help="override cluster width (default: adaptive)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -79,7 +81,7 @@ def main():
                     lights=[lamp], background=(0.051, 0.051, 0.051))
 
     t0 = time.perf_counter()
-    sd = compile_scene(scene)
+    sd = compile_scene(scene, tri_pad=args.tri_pad)
     t_compile = time.perf_counter() - t0
     k = sd.tri_cluster_min.shape[0]
     print(json.dumps({"probe": "compile", "n_tris": int(sd.n_tris),
