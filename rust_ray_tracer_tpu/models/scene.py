@@ -253,10 +253,13 @@ class ImageTexture:
             return img
         except Exception:
             pass
-        try:  # self-contained PNG fallback (utils/image.py decoder)
-            from rust_ray_tracer_tpu.utils.image import decode_png
+        try:  # self-contained PNG/JPEG fallbacks (utils/image.py)
+            from rust_ray_tracer_tpu.utils.image import (decode_jpeg,
+                                                         decode_png)
             with open(self.path, "rb") as f:
-                return np.asarray(decode_png(f.read()), np.float32) / 255.0
+                raw = f.read()
+            dec = decode_jpeg if raw[:2] == b"\xff\xd8" else decode_png
+            return np.asarray(dec(raw), np.float32) / 255.0
         except Exception:
             return None
 

@@ -1,6 +1,7 @@
 """PNG encode/decode roundtrip + vertical-flip convention."""
 
 import numpy as np
+import pytest
 
 from rust_ray_tracer_tpu.utils import image as im
 
@@ -53,3 +54,63 @@ def test_decoder_handles_filters():
             + chunk(b"IEND", b""))
     back = im.decode_png(data)
     np.testing.assert_array_equal(back, np.stack(img))
+
+
+def test_decode_jpeg_baseline():
+    """The self-contained baseline JPEG decoder (texture fallback when
+    PIL is absent — texture.rs:84-131 surface) vs PIL's libjpeg, for
+    4:4:4 / 4:2:2 / 4:2:0 and greyscale."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 / w), (yy * 255 / h),
+                    ((xx + yy) * 255 / (w + h))], -1).astype(np.uint8)
+    for subs in (0, 1, 2):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=90,
+                                  subsampling=subs)
+        ours = im.decode_jpeg(buf.getvalue())
+        ref = np.asarray(Image.open(buf).convert("RGB"))
+        assert ours.shape == ref.shape
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 8
+
+    buf = io.BytesIO()
+    Image.fromarray(img[:, :, 0]).save(buf, format="JPEG", quality=85)
+    ours = im.decode_jpeg(buf.getvalue())
+    ref = np.asarray(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_image_texture_jpeg_fallback(tmp_path, monkeypatch):
+    """ImageTexture loads a JPEG through the self-contained decoder when
+    PIL import is blocked (models/scene.py fallback chain)."""
+    pytest.importorskip("PIL")
+    import builtins
+    import io
+
+    from PIL import Image
+
+    from rust_ray_tracer_tpu.models.scene import ImageTexture
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :8] = (200, 40, 40)
+    img[:, 8:] = (40, 200, 40)
+    p = tmp_path / "tex.jpg"
+    Image.fromarray(img).save(p, format="JPEG", quality=95)
+
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name.startswith("PIL"):
+            raise ImportError("blocked")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pil)
+    out = ImageTexture(path=str(p)).load()
+    assert out is not None and out.shape == (16, 16, 3)
+    assert abs(float(out[:, :4, 0].mean()) - 200 / 255) < 0.06
+    assert abs(float(out[:, 12:, 1].mean()) - 200 / 255) < 0.06
