@@ -377,6 +377,31 @@ def hit_attrs_core(o, d, time, t_min, t_max, kind, flip,
 # Entry point
 # ---------------------------------------------------------------------------
 
+def _search_order(o, t_min, t_max, cl_min, cl_max):
+    """[C] permutation for the phase-1 search: dead lanes (collapsed
+    t-window) last, alive lanes Morton-ordered by origin within the
+    scene's cluster bounds — scattered bounce rays from the same surface
+    region land in the same kernel tile, shrinking each tile's
+    surviving-cluster union (see the call site)."""
+    lo = jnp.min(cl_min, axis=0)
+    hi = jnp.max(cl_max, axis=0)
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-30), 0.0, 1.0)
+    qi = (q * 1023.0).astype(jnp.uint32)
+
+    def spread(v):                     # 10 bits -> every 3rd bit
+        v = v & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = (spread(qi[:, 0]) | (spread(qi[:, 1]) << 1)
+            | (spread(qi[:, 2]) << 2)).astype(jnp.int32)
+    key = jnp.where(t_max > t_min, code, jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(key)
+
+
 def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
     """Closest hit for a chunk of rays.
 
@@ -426,8 +451,30 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
                and 0 < scene.n_spheres + scene.n_quads + scene.n_tris
                and scene.n_spheres < CLUSTER and scene.n_quads < CLUSTER)
     if unified:
-        best_t, best_kind, best_idx = pk.fused_search(
-            scene_s, os, ds, ts, t_min, t_max)
+        # search-order compaction for big meshes: after a bounce, the
+        # few alive rays scatter over every 256-ray kernel tile, so
+        # every tile sweeps a huge cluster union (measured on 1M-tri
+        # MetalRoughSpheres: bounce 1 had 1098/9216 alive yet cost MORE
+        # than the 9216 primaries — 36 tiles x ~212 surviving clusters).
+        # Permuting rays (dead last, alive Morton-ordered by origin)
+        # packs the live rays into few spatially-tight tiles; the
+        # selection is un-permuted immediately, so phase 2 and the
+        # estimator never see the order. Detached phase -> semantically
+        # invisible; gated to big meshes (the sort costs ~the argsort of
+        # [C] keys per bounce, noise there, real money at suzanne size).
+        sort_rays = scene.n_tris >= pk.PACKED_MIN_TRIS
+        if sort_rays:
+            perm = _search_order(os, t_min, t_max,
+                                 scene_s.tri_cluster_min,
+                                 scene_s.tri_cluster_max)
+            inv = jnp.argsort(perm)
+            bt_s, bk_s, bi_s = pk.fused_search(
+                scene_s, os[perm], ds[perm], ts[perm],
+                t_min[perm], t_max[perm])
+            best_t, best_kind, best_idx = bt_s[inv], bk_s[inv], bi_s[inv]
+        else:
+            best_t, best_kind, best_idx = pk.fused_search(
+                scene_s, os, ds, ts, t_min, t_max)
     else:
         if scene.n_tris:
             feats = _ray_features(os, ds)

@@ -214,16 +214,22 @@ def _mask_kernel(o_ref, d_ref, tw_ref, clmin_ref, clmax_ref, mask_ref):
     window = tmax > tmin
     hit = (nonempty & par_ok & (enter <= exit_)
            & (exit_ >= tmin) & (enter <= tmax) & window)
+    # min ENTRY DISTANCE over the tile's rays (+inf = tile misses the
+    # cluster): a conservative lower bound on any hit t inside the
+    # cluster for every ray of the tile — the sweep sorts clusters by
+    # it (front to back) and prunes once all rays' best_t beat it.
+    # Entry clamped up to t_min stays a valid bound (hits are >= t_min).
+    ent = jnp.where(hit, jnp.maximum(enter, tmin), jnp.inf)
     # rows travel in 8-row blocks (Mosaic's minimum sublane tile); the
     # block index i//8 repeats for 8 consecutive steps, so each step
     # fills its own row r = i%8 of the persistent block
     r = pl.program_id(0) % 8
-    mask_ref[pl.ds(r, 1), :] = jnp.any(
-        hit, axis=0, keepdims=True).astype(jnp.int32)
+    mask_ref[pl.ds(r, 1), :] = jnp.min(ent, axis=0, keepdims=True)
 
 
-def tile_cluster_mask_pallas(o, d, cl_min, cl_max, t_min, t_max):
-    """[Ci, K] int32 tile-cluster mask via the Pallas kernel.
+def tile_cluster_enter_pallas(o, d, cl_min, cl_max, t_min, t_max):
+    """[Ci, K] f32 per-(tile, cluster) min entry distance via the Pallas
+    kernel (+inf where the tile misses the cluster entirely).
 
     Caller guarantees o/d/t are BC-padded (pad rays carry a collapsed
     window). K is padded to the 128-lane boundary with empty boxes.
@@ -238,7 +244,7 @@ def tile_cluster_mask_pallas(o, d, cl_min, cl_max, t_min, t_max):
     tw = jnp.stack([t_min, t_max], axis=0)              # [2, C]
     ci = c // BC
     ci_p = -(-ci // 8) * 8
-    mask = pl.pallas_call(
+    ent = pl.pallas_call(
         _mask_kernel,
         grid=(ci,),
         in_specs=[
@@ -255,10 +261,10 @@ def tile_cluster_mask_pallas(o, d, cl_min, cl_max, t_min, t_max):
         ],
         out_specs=pl.BlockSpec((8, kp), lambda i: (i // 8, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ci_p, kp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ci_p, kp), jnp.float32),
         interpret=INTERPRET,
     )(o.T, d.T, tw, clmin_p, clmax_p)
-    return mask[:ci, :k]
+    return ent[:ci, :k]
 
 
 def tri_search(feats, det_c, u_c, v_c, t_c, double, t_min, t_max,
@@ -459,8 +465,9 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
     blocks + a [1, bt] double-sided row. ``packed=True``: one [10, bt]
     vertex block (v0/e1/e2/dbl rows) and the coefficients are built
     in-kernel (_coeffs_from_pack) — 4x less HBM traffic per cluster."""
-    def impl(ids_ref, cnt_ref, feats_ref, tri_refs, time_ref, tmin_ref,
-             tmax_ref, sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
+    def impl(ids_ref, cnt_ref, ent_ref, feats_ref, tri_refs, time_ref,
+             tmin_ref, tmax_ref, sph_ref, quad_ref,
+             bt_ref, bk_ref, bi_ref):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
 
@@ -476,11 +483,34 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
             bk_ref[:] = jnp.where(better, jnp.int32(kind), bk_ref[:])
             bt_ref[:] = jnp.where(better, loc_t, bt_ref[:])
 
+        def fold_tri(loc_t, loc_i, kind):
+            # lexicographic (t, index): the cluster sweep is front-to-
+            # back, NOT ascending-id, so equal-t ties across clusters
+            # must resolve to the globally lowest triangle index to stay
+            # bitwise identical to the dense ascending sweep / XLA path
+            bt = bt_ref[:]
+            better = (loc_t < bt) | ((loc_t == bt) & (loc_i < bi_ref[:]))
+            bi_ref[:] = jnp.where(better, loc_i, bi_ref[:])
+            bk_ref[:] = jnp.where(better, jnp.int32(kind), bk_ref[:])
+            bt_ref[:] = jnp.where(better, loc_t, bt_ref[:])
+
         if has_tri:
-            # compacted sweep: step j processes cluster ids_ref[ti, j];
-            # steps past this tile's survivor count repeat the last id
-            # (index map pins the block -> the pipeline skips the DMA)
-            # and skip compute here
+            # compacted front-to-back sweep: step j of tile i processes
+            # cluster ids[ti, j] (survivors sorted by tile entry
+            # distance). Steps past the survivor count repeat the last
+            # id (index map pins the block -> the DMA is elided) and
+            # skip compute; a surviving cluster is ALSO skipped once
+            # every ray's running best_t beats its entry distance —
+            # tile-level closest-hit pruning, the BVH early-out in tile
+            # form. ent rows travel in 8-row SMEM blocks (i//8).
+            # NOTE a max(best_t)-vs-entry pruning test was measured
+            # here and REVERTED: any ray of the tile that ends up
+            # missing everything keeps best_t = inf, so the tile-level
+            # bound almost never fires on scenes with background gaps
+            # while its per-step reduce+branch cost 14% of the 1M-tri
+            # wave (1253 vs 1103 ms). The front-to-back survivor order
+            # stays (harmless; tie-safety comes from the lexicographic
+            # fold), ready for a finer-grained bound.
             @pl.when(tj < cnt_ref[ti])
             def _tri():
                 if packed:
@@ -492,7 +522,7 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                 _tri_eval_fold(feats_ref[:], det_m, u_m, v_m, t_m, dbl,
                                tmin_ref[:], tmax_ref[:],
                                ids_ref[ti, tj], tri_refs[0].shape[1],
-                               fold)
+                               fold_tri)
 
         @pl.when(tj == k_last)
         def _small_tables():
@@ -573,17 +603,17 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                 fold(loc_t, loc_i, _K_QUAD)
 
     if packed:
-        def kernel(ids_ref, cnt_ref, feats_ref, pack_ref, time_ref,
-                   tmin_ref, tmax_ref, sph_ref, quad_ref,
+        def kernel(ids_ref, cnt_ref, ent_ref, feats_ref, pack_ref,
+                   time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                    bt_ref, bk_ref, bi_ref):
-            impl(ids_ref, cnt_ref, feats_ref, (pack_ref,), time_ref,
-                 tmin_ref, tmax_ref, sph_ref, quad_ref,
+            impl(ids_ref, cnt_ref, ent_ref, feats_ref, (pack_ref,),
+                 time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
     else:
-        def kernel(ids_ref, cnt_ref, feats_ref, det_ref, u_ref, v_ref,
-                   t_ref, dbl_ref, time_ref, tmin_ref, tmax_ref,
+        def kernel(ids_ref, cnt_ref, ent_ref, feats_ref, det_ref, u_ref,
+                   v_ref, t_ref, dbl_ref, time_ref, tmin_ref, tmax_ref,
                    sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
-            impl(ids_ref, cnt_ref, feats_ref,
+            impl(ids_ref, cnt_ref, ent_ref, feats_ref,
                  (det_ref, u_ref, v_ref, t_ref, dbl_ref), time_ref,
                  tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
@@ -630,7 +660,7 @@ def fused_search(scene, o, d, time, t_min, t_max):
                 scene.tri_v0, scene.tri_e1, scene.tri_e2)
             dbl_p = scene.tri_double.astype(jnp.float32)[None, :]
             tri_tabs = (det_p, u_p, v_p, t_p, dbl_p)
-        mask = tile_cluster_mask_pallas(
+        ent = tile_cluster_enter_pallas(
             feats[:, 0:3], feats[:, 3:6],
             scene.tri_cluster_min, scene.tri_cluster_max,
             tmin_p[:, 0],
@@ -643,15 +673,24 @@ def fused_search(scene, o, d, time, t_min, t_max):
             tri_tabs = (jnp.zeros((10, bt), jnp.float32),) * 4 \
                 + (jnp.zeros((1, bt), jnp.float32),)
         k = 1
-        mask = jnp.zeros((cp // BC, 1), jnp.int32)
+        ent = jnp.full((cp // BC, 1), jnp.inf, jnp.float32)
 
-    # compact the mask into per-tile survivor id lists: step j of tile i
-    # sweeps cluster ids[i, j]; past cnt[i] the index map repeats the
-    # last survivor, so the pipeline skips both the DMA and the compute.
-    # A stable argsort keeps surviving ids ASCENDING, preserving the
-    # dense sweep's equal-t tie-break (lowest triangle index wins).
-    cnt = jnp.sum(mask, axis=1, dtype=jnp.int32)               # [Ci]
-    ids = jnp.argsort(1 - mask, axis=1, stable=True).astype(jnp.int32)
+    # compact the tile-entry distances into per-tile survivor id lists
+    # SORTED FRONT TO BACK: step j of tile i sweeps cluster ids[i, j];
+    # past cnt[i] the index map repeats the last survivor, so the
+    # pipeline skips both the DMA and the compute. The kernel also
+    # prunes survivors whose entry bound lies beyond every ray's
+    # running best_t (tile-level closest-hit pruning); equal-t winners
+    # stay bitwise identical to the dense ascending sweep because the
+    # tri fold is lexicographic in (t, index).
+    cnt = jnp.sum(ent < jnp.inf, axis=1, dtype=jnp.int32)      # [Ci]
+    ids = jnp.argsort(ent, axis=1, stable=True).astype(jnp.int32)
+    ent_sorted = jnp.take_along_axis(ent, ids, axis=1)
+    ci_p8 = -(-ent_sorted.shape[0] // 8) * 8
+    ent_sorted = jnp.pad(
+        ent_sorted,
+        ((0, ci_p8 - ent_sorted.shape[0]), (0, 0)),
+        constant_values=jnp.inf)
 
     # sphere table [9, SP]: far-pad rows give disc = inf - inf = NaN,
     # rejected on every comparison path (see ops/pallas_sphere.py)
@@ -701,6 +740,9 @@ def fused_search(scene, o, d, time, t_min, t_max):
             num_scalar_prefetch=2,            # ids, cnt
             grid=(cp // BC, k),
             in_specs=[
+                # sorted tile-entry bounds: 8 rows per SMEM block
+                pl.BlockSpec((8, k), lambda i, j, ids_r, cnt_r: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((BC, 10), lambda i, j, ids_r, cnt_r: (i, 0),
                              memory_space=pltpu.VMEM),
                 *tri_specs,
@@ -720,7 +762,7 @@ def fused_search(scene, o, d, time, t_min, t_max):
             transcendentals=0,
             bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4),
         interpret=INTERPRET,
-    )(ids, cnt, feats, *tri_tabs,
+    )(ids, cnt, ent_sorted, feats, *tri_tabs,
       time_p, tmin_p, tmax_p, sph, quad)
 
     bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]

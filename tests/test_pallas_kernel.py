@@ -258,3 +258,45 @@ def test_adaptive_cluster_width():
                                np.asarray(h256.t)[m], rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(h128.mat)[m],
                                   np.asarray(h256.mat)[m])
+
+
+def test_search_order_compaction_exact():
+    """The big-mesh search-order permutation (alive-first Morton) must
+    not change a single result: per ray the cluster sweep order and all
+    tie-breaks are position-independent, so intersect() output is
+    bitwise identical with the sort forced on vs off."""
+    from rust_ray_tracer_tpu.ops.intersect import intersect
+
+    rng = np.random.default_rng(21)
+    mats = [S.Lambertian.from_rgb(0.5, 0.5, 0.5)]
+    world = []
+    for i in range(500):
+        v0 = rng.uniform(-4, 4, 3).astype(np.float32)
+        v0[2] -= 6.0
+        e = rng.uniform(-0.4, 0.4, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[0],
+                                double_sided=True))
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)))
+
+    C = 700
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.zeros(C, jnp.float32)
+    t_max = jnp.where(jnp.arange(C) % 3 == 0, -1.0, jnp.inf)  # dead mix
+
+    import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
+
+    real_on_tpu, real_min = pkm.on_tpu, pkm.PACKED_MIN_TRIS
+    pkm.on_tpu = lambda: True
+    try:
+        h_plain = intersect(sd, o, d, tt, t_max=t_max)
+        pkm.PACKED_MIN_TRIS = 1          # force the sorted search path
+        h_sort = intersect(sd, o, d, tt, t_max=t_max)
+    finally:
+        pkm.on_tpu, pkm.PACKED_MIN_TRIS = real_on_tpu, real_min
+
+    for f in ("hit", "t", "p", "normal", "u", "v", "mat"):
+        np.testing.assert_array_equal(np.asarray(getattr(h_plain, f)),
+                                      np.asarray(getattr(h_sort, f)),
+                                      err_msg=f)
