@@ -300,3 +300,38 @@ def test_search_order_compaction_exact():
         np.testing.assert_array_equal(np.asarray(getattr(h_plain, f)),
                                       np.asarray(getattr(h_sort, f)),
                                       err_msg=f)
+
+
+def test_entry_mask_kernel_matches_xla_mask():
+    """The Pallas entry-distance kernel must agree with the XLA slab
+    mask exactly: entry finite <-> mask 1, and finite entries must be
+    valid lower bounds (>= t_min, <= any true hit t)."""
+    from rust_ray_tracer_tpu.ops.pallas_intersect import (
+        _pad_axis, _tile_cluster_mask, tile_cluster_enter_pallas)
+
+    rng = np.random.default_rng(5)
+    K = 7
+    cl_min = rng.uniform(-5, 4, (K, 3)).astype(np.float32)
+    cl_max = cl_min + rng.uniform(0.1, 2.0, (K, 3)).astype(np.float32)
+    # one empty (inverted) cluster, like compile_scene's all-pad boxes
+    cl_min[3], cl_max[3] = np.inf, -np.inf
+    C = 512
+    o = rng.uniform(-6, 6, (C, 3)).astype(np.float32)
+    d = rng.standard_normal((C, 3)).astype(np.float32)
+    d[7] = 0.0                         # degenerate direction
+    t_min = np.full(C, 1e-4, np.float32)
+    t_max = np.where(np.arange(C) % 5 == 0, -np.inf,
+                     np.inf).astype(np.float32)   # dead lanes
+
+    op = _pad_axis(jnp.asarray(o), 256, 0, 0.0)
+    dp = _pad_axis(jnp.asarray(d), 256, 0, 0.0)
+    tminp = _pad_axis(jnp.asarray(t_min)[:, None], 256, 0, 0.0)[:, 0]
+    tmaxp = _pad_axis(jnp.asarray(t_max)[:, None], 256, 0, -np.inf)[:, 0]
+
+    ent = np.asarray(tile_cluster_enter_pallas(
+        op, dp, jnp.asarray(cl_min), jnp.asarray(cl_max), tminp, tmaxp))
+    mask = np.asarray(_tile_cluster_mask(
+        op, dp, jnp.asarray(cl_min), jnp.asarray(cl_max), tminp, tmaxp))
+    np.testing.assert_array_equal(np.isfinite(ent), mask.astype(bool))
+    assert (ent[np.isfinite(ent)] >= 1e-4).all()
+    assert not np.isfinite(ent[:, 3]).any()       # empty cluster
