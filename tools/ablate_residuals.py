@@ -6,7 +6,8 @@ forward materialization (HBM write XLA would otherwise fuse away)
 against backward recompute; the winner is an empirical question per
 workload — record results in the SAVE_NAMES comment (ops/integrator.py).
 
-Usage: python tools/ablate_residuals.py
+Usage: python tools/ablate_residuals.py [scene ...]
+(default: the suzanne flagship; any builders.get_scene name works)
 """
 
 import json
@@ -41,7 +42,18 @@ COMBOS = [
 
 
 def main():
-    scene = __graft_entry__._flagship_scene()
+    names = sys.argv[1:] or ["suzanne"]
+    for name in names:
+        run_scene(name)
+
+
+def run_scene(name):
+    if name == "suzanne":
+        scene = __graft_entry__._flagship_scene()
+    else:
+        from rust_ray_tracer_tpu.models import builders
+        from rust_ray_tracer_tpu.models.scene import compile_scene
+        scene = compile_scene(builders.get_scene(name, WIDTH / HEIGHT))
     diff, static = partition(scene)
     key = jax.random.PRNGKey(0)
 
@@ -59,7 +71,7 @@ def main():
         for w in range(1, 9):
             jax.block_until_ready(step(diff, key, w))
         dt = (time.perf_counter() - t0) / 8
-        print(json.dumps({"save": list(names),
+        print(json.dumps({"scene": name, "save": list(names),
                           "step_ms": round(dt * 1e3, 2),
                           "step_mrays": round(rays / dt / 1e6, 2)}),
               flush=True)
