@@ -38,14 +38,25 @@ MAX_DEPTH = 4  # main.rs:56
 # Remat residuals saved per bounce (checkpoint names; see
 # ops/intersect.py and ops/shade.py for where each is tagged). Saving a
 # residual trades forward materialization (an HBM write XLA might have
-# fused away) against backward recompute — an empirical question.
-# Measured on suzanne (512x288 d4, v5e, one session,
-# tools/ablate_residuals.py): isect_sel only 91.8ms step; +shade_rand
-# 92.7 (threefry recompute is CHEAPER than materializing the blocks);
-# +isect_packs 86.7; +hit_attrs 84.1; +hit_attrs+albedo **82.8** (7.12
-# Mrays/s, the winner — backward skips the hit-attrs kernel forward and
-# the Perlin/texture recompute); all five 87.4.
+# fused away) against backward recompute — an empirical, per-workload
+# question (tools/ablate_residuals.py, same-session sweeps, v5e):
+# - suzanne: isect_sel only 91.8ms step; +shade_rand 92.7 (threefry
+#   recompute is CHEAPER than materializing the blocks); +isect_packs
+#   86.7; +hit_attrs 84.1; +hit_attrs+albedo **82.8** (the winner —
+#   backward skips the hit-attrs kernel forward and the texture
+#   recompute); all five 87.4.
+# - random (1024 spheres, no tris): isect_sel only **1052ms**;
+#   +hit_attrs+albedo 1152 (-9%!) — at full occupancy the forward
+#   materialization dominates.
+# - composite (43k tris): all combos within 2.5% (wash).
+# trace_rays picks per scene: triangle scenes save hit/albedo,
+# sphere/quad-only scenes save just the selection.
 SAVE_NAMES = ("isect_sel", "hit_attrs", "albedo")
+SAVE_NAMES_NO_TRI = ("isect_sel",)
+
+
+def _save_names(scene):
+    return SAVE_NAMES if scene.n_tris else SAVE_NAMES_NO_TRI
 
 
 def _bounce(scene, carry, bkey):
@@ -106,7 +117,7 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
         # The candidate-search kernels are skipped via "isect_sel"
         # (ops/intersect.py).
         policy = jax.checkpoint_policies.save_only_these_names(
-            *SAVE_NAMES)
+            *_save_names(scene))
         step = jax.checkpoint(partial(_bounce, scene), policy=policy)
     else:
         step = partial(_bounce, scene)
