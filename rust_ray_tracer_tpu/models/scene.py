@@ -56,6 +56,9 @@ LIGHT_NULL = 2       # Hittable defaults: pdf=0, random=(1,0,0)
 
 PERLIN_N = 256       # perlin.rs:6 (const generic N)
 
+MED_SPHERE = 0       # constant-medium boundary kinds (SceneData.med_kind)
+MED_POLY = 1
+
 CLUSTER = 128        # min triangles per culling cluster (one kernel tile)
 MAX_CLUSTERS = 512   # cap on cluster count K — see compile_scene
 
@@ -116,12 +119,20 @@ class SceneData(NamedTuple):
     quad_cluster_min: jnp.ndarray  # [Kq,3]
     quad_cluster_max: jnp.ndarray  # [Kq,3]
 
-    # Constant media with sphere boundaries (constant_medium.rs:46-80;
-    # every reference use wraps a Sphere).
+    # Constant media (constant_medium.rs:46-80). The reference wraps any
+    # ``Arc<dyn Hittable>``; here a boundary is either a sphere
+    # (med_kind == MED_SPHERE: med_c/med_r) or a convex polytope
+    # (med_kind == MED_POLY: med_pl_n/med_pl_d half-spaces n·p <= d —
+    # covers Cuboid, incl. Translate/RotateY-wrapped, which is every
+    # solid the reference could wrap besides spheres; flat rects yield
+    # no second boundary hit in the reference and so no medium at all).
     med_c: jnp.ndarray        # [M,3]
     med_r: jnp.ndarray        # [M]
     med_neg_inv_d: jnp.ndarray  # [M]  = -1/density
     med_mat: jnp.ndarray      # [M] int32 (an Isotropic material)
+    med_kind: jnp.ndarray     # [M] int32 (MED_SPHERE | MED_POLY)
+    med_pl_n: jnp.ndarray     # [M,P,3] half-space normals (pad: 0)
+    med_pl_d: jnp.ndarray     # [M,P]   half-space offsets (pad: 1)
 
     # Materials: union of the five reference materials.
     mat_kind: jnp.ndarray     # [K] int32
@@ -585,14 +596,41 @@ class _Builder:
                 else:
                     a2 = _compose(a2, _affine(rot=_rot_y(b.angle_deg)))
                 b = b.base
-            if not isinstance(b, Sphere):
-                raise NotImplementedError(
-                    "ConstantMedium supports sphere boundaries (every "
-                    "reference use wraps a Sphere: scene.rs:346-366)")
             iso = Isotropic(obj.texture)
-            self.media.append((_apply_p(a2, b.center), float(b.radius),
-                               -1.0 / float(obj.density),
-                               self.material_id(iso)))
+            nid = -1.0 / float(obj.density)
+            mat = self.material_id(iso)
+            if isinstance(b, Sphere):
+                self.media.append((_apply_p(a2, b.center), float(b.radius),
+                                   nid, mat, MED_SPHERE, []))
+            elif isinstance(b, Cuboid):
+                # convex polytope boundary: one outward half-space per
+                # face (n·p <= d inside). Matches the reference's
+                # entry/exit pair hit1 ∈ (-inf,inf), hit2 ∈ (hit1.t, inf)
+                # (constant_medium.rs:47-56) — for a convex solid those
+                # are exactly the slab interval endpoints. Exact under
+                # affine Translate/RotateY (planes transform with the
+                # faces).
+                center = _apply_p(a2, (_v(b.minimum) + _v(b.maximum)) * 0.5)
+                planes = []
+                for side in b.sides():
+                    q = _apply_p(a2, side.q)
+                    n = np.cross(_apply_d(a2, side.u), _apply_d(a2, side.v))
+                    ln = float(np.linalg.norm(n))
+                    if ln <= 0:
+                        continue   # degenerate face: no constraint
+                    n = n / ln
+                    if float(np.dot(n, center - q)) > 0:
+                        n = -n     # orient outward
+                    planes.append((n.astype(np.float32),
+                                   float(np.dot(n, q))))
+                self.media.append((np.zeros(3, np.float32), 0.0,
+                                   nid, mat, MED_POLY, planes))
+            else:
+                raise NotImplementedError(
+                    "ConstantMedium boundaries: Sphere or Cuboid "
+                    "(optionally Translate/RotateY-wrapped). A flat "
+                    "rect boundary has no exit hit and yields no medium "
+                    "in the reference either (constant_medium.rs:47-49)")
         else:
             raise TypeError(f"unknown scene object {obj!r}")
 
@@ -821,7 +859,17 @@ def compile_scene(scene: Scene, seed: int = 0,
         r=_stack(b.media, lambda r: r[1], ()),
         nid=_stack(b.media, lambda r: r[2], ()),
         mat=_stack(b.media, lambda r: r[3], (), np.int32),
+        kind=_stack(b.media, lambda r: r[4], (), np.int32),
     )
+    # polytope boundary planes, padded to the max face count with
+    # no-constraint half-spaces (n=0, d=1: 0 <= 1 everywhere)
+    n_pl = max([len(r[5]) for r in b.media], default=0)
+    med_pl_n = np.zeros((len(b.media), n_pl, 3), np.float32)
+    med_pl_d = np.ones((len(b.media), n_pl), np.float32)
+    for i, row in enumerate(b.media):
+        for p, (nrm, off) in enumerate(row[5]):
+            med_pl_n[i, p] = nrm
+            med_pl_d[i, p] = off
 
     # --- material / texture tables (at least one row so gathers are valid)
     mats = b.materials or [dict(kind=MAT_LAMBERTIAN, tex=0)]
@@ -882,7 +930,8 @@ def compile_scene(scene: Scene, seed: int = 0,
         quad_cluster_min=j(q_cl_min.astype(np.float32)),
         quad_cluster_max=j(q_cl_max.astype(np.float32)),
         med_c=j(meds["c"]), med_r=j(meds["r"]), med_neg_inv_d=j(meds["nid"]),
-        med_mat=j(meds["mat"]),
+        med_mat=j(meds["mat"]), med_kind=j(meds["kind"]),
+        med_pl_n=j(med_pl_n), med_pl_d=j(med_pl_d),
         mat_kind=j(mfield("kind", 0, np.int32)),
         mat_tex=j(mfield("tex", 0, np.int32)),
         mat_fuzz=j(mfield("fuzz", 0.0)),

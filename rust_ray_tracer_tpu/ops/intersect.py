@@ -250,14 +250,46 @@ def _med_t(scene, o, d, med_u, t_min):
     """Per-(ray, medium) stochastic scatter distance — [C, M] t (INF=none).
 
     Mirrors constant_medium.rs:46-80: boundary hit over (-inf, inf) gives
-    both roots; clamp to [t_min, inf); exponential free flight.
+    the entry/exit pair; clamp to [t_min, inf); exponential free flight.
+    Boundaries are spheres (quadratic roots) or convex polytopes
+    (half-space slab interval) per ``scene.med_kind``. The reference
+    also clamps the exit by the running closest-so-far (its list scan
+    shrinks t_max); here media compete in the cross-kind argmin instead,
+    which discards exactly the same samples (a scatter beyond a closer
+    surface never wins), so the winners are identical.
     """
+    from rust_ray_tracer_tpu.models.scene import MED_POLY
+
     root1, root2, ok, _ = _sphere_roots(
         o[:, None, :], d[:, None, :],
         jnp.zeros(o.shape[0], o.dtype)[:, None],
         scene.med_c[None], scene.med_c[None],
         jnp.zeros_like(scene.med_r)[None], jnp.ones_like(scene.med_r)[None],
         scene.med_r[None])
+    if scene.med_pl_n.shape[1]:
+        # convex polytope: inside is the intersection of n·p <= d.
+        # Along p(t) = o + t·d each half-space is a one-sided bound on
+        # t: den = n·d > 0 bounds above (exit), den < 0 bounds below
+        # (entry), den ~ 0 requires the origin side to be inside.
+        # Pad planes (n=0, d=1) never constrain; sphere rows are all
+        # padding and are masked out by med_kind below.
+        n = scene.med_pl_n[None]                        # [1,M,P,3]
+        doff = scene.med_pl_d[None]                     # [1,M,P]
+        den = jnp.sum(n * d[:, None, None, :], -1)      # [C,M,P]
+        num = doff - jnp.sum(n * o[:, None, None, :], -1)
+        par = jnp.abs(den) < 1e-12
+        par_ok = ~par | (num >= 0.0)
+        to = num / jnp.where(par, 1.0, den)
+        t_ent = jnp.where(~par & (den < 0), to, -jnp.inf)
+        t_exi = jnp.where(~par & (den > 0), to, jnp.inf)
+        t1_p = jnp.max(t_ent, axis=-1)                  # [C,M]
+        t2_p = jnp.min(t_exi, axis=-1)
+        ok_p = (jnp.all(par_ok, axis=-1) & (t1_p < t2_p)
+                & jnp.isfinite(t2_p))
+        is_poly = (scene.med_kind == MED_POLY)[None]
+        root1 = jnp.where(is_poly, t1_p, root1)
+        root2 = jnp.where(is_poly, t2_p, root2)
+        ok = jnp.where(is_poly, ok_p, ok)
     t1 = jnp.maximum(root1, t_min[:, None])
     t2 = root2
     ok = ok & (t1 < t2)
@@ -557,10 +589,11 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
 
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
 
-    # name the packed gathers and the attribute outputs as remat
-    # residuals: under the integrator's save policy the backward reuses
-    # them, so it re-runs NEITHER the [C,9] gathers NOR the hit-attrs
-    # kernel forward — only the custom bwd kernel + gather transposes
+    # name the packed gathers as remat residuals. NOTE: "isect_packs" is
+    # NOT in the integrator's default save policy (SAVE_NAMES) — the
+    # residual ablation rejected it (materializing the packs lost to
+    # recomputing the gathers). The tags stay so the policy can be
+    # swept per workload via tools/ablate_residuals.py.
     tri_pack = checkpoint_name(tri_pack, "isect_packs")
     sph_pack = checkpoint_name(sph_pack, "isect_packs")
     quad_pack = checkpoint_name(quad_pack, "isect_packs")

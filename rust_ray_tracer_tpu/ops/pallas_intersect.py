@@ -465,7 +465,7 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
     blocks + a [1, bt] double-sided row. ``packed=True``: one [10, bt]
     vertex block (v0/e1/e2/dbl rows) and the coefficients are built
     in-kernel (_coeffs_from_pack) — 4x less HBM traffic per cluster."""
-    def impl(ids_ref, cnt_ref, ent_ref, feats_ref, tri_refs, time_ref,
+    def impl(ids_ref, cnt_ref, feats_ref, tri_refs, time_ref,
              tmin_ref, tmax_ref, sph_ref, quad_ref,
              bt_ref, bk_ref, bi_ref):
         ti = pl.program_id(0)
@@ -499,10 +499,7 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
             # cluster ids[ti, j] (survivors sorted by tile entry
             # distance). Steps past the survivor count repeat the last
             # id (index map pins the block -> the DMA is elided) and
-            # skip compute; a surviving cluster is ALSO skipped once
-            # every ray's running best_t beats its entry distance —
-            # tile-level closest-hit pruning, the BVH early-out in tile
-            # form. ent rows travel in 8-row SMEM blocks (i//8).
+            # skip compute.
             # NOTE a max(best_t)-vs-entry pruning test was measured
             # here and REVERTED: any ray of the tile that ends up
             # missing everything keeps best_t = inf, so the tile-level
@@ -603,17 +600,17 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                 fold(loc_t, loc_i, _K_QUAD)
 
     if packed:
-        def kernel(ids_ref, cnt_ref, ent_ref, feats_ref, pack_ref,
+        def kernel(ids_ref, cnt_ref, feats_ref, pack_ref,
                    time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                    bt_ref, bk_ref, bi_ref):
-            impl(ids_ref, cnt_ref, ent_ref, feats_ref, (pack_ref,),
+            impl(ids_ref, cnt_ref, feats_ref, (pack_ref,),
                  time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
     else:
-        def kernel(ids_ref, cnt_ref, ent_ref, feats_ref, det_ref, u_ref,
+        def kernel(ids_ref, cnt_ref, feats_ref, det_ref, u_ref,
                    v_ref, t_ref, dbl_ref, time_ref, tmin_ref, tmax_ref,
                    sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
-            impl(ids_ref, cnt_ref, ent_ref, feats_ref,
+            impl(ids_ref, cnt_ref, feats_ref,
                  (det_ref, u_ref, v_ref, t_ref, dbl_ref), time_ref,
                  tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
@@ -678,19 +675,14 @@ def fused_search(scene, o, d, time, t_min, t_max):
     # compact the tile-entry distances into per-tile survivor id lists
     # SORTED FRONT TO BACK: step j of tile i sweeps cluster ids[i, j];
     # past cnt[i] the index map repeats the last survivor, so the
-    # pipeline skips both the DMA and the compute. The kernel also
-    # prunes survivors whose entry bound lies beyond every ray's
-    # running best_t (tile-level closest-hit pruning); equal-t winners
-    # stay bitwise identical to the dense ascending sweep because the
-    # tri fold is lexicographic in (t, index).
+    # pipeline skips both the DMA and the compute. (A tile-level
+    # closest-hit prune on these entry bounds was measured and REVERTED
+    # — see the NOTE inside the kernel; the front-to-back order stays,
+    # and equal-t winners remain bitwise identical to the dense
+    # ascending sweep because the tri fold is lexicographic in
+    # (t, index).)
     cnt = jnp.sum(ent < jnp.inf, axis=1, dtype=jnp.int32)      # [Ci]
     ids = jnp.argsort(ent, axis=1, stable=True).astype(jnp.int32)
-    ent_sorted = jnp.take_along_axis(ent, ids, axis=1)
-    ci_p8 = -(-ent_sorted.shape[0] // 8) * 8
-    ent_sorted = jnp.pad(
-        ent_sorted,
-        ((0, ci_p8 - ent_sorted.shape[0]), (0, 0)),
-        constant_values=jnp.inf)
 
     # sphere table [9, SP]: far-pad rows give disc = inf - inf = NaN,
     # rejected on every comparison path (see ops/pallas_sphere.py)
@@ -740,9 +732,6 @@ def fused_search(scene, o, d, time, t_min, t_max):
             num_scalar_prefetch=2,            # ids, cnt
             grid=(cp // BC, k),
             in_specs=[
-                # sorted tile-entry bounds: 8 rows per SMEM block
-                pl.BlockSpec((8, k), lambda i, j, ids_r, cnt_r: (i // 8, 0),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((BC, 10), lambda i, j, ids_r, cnt_r: (i, 0),
                              memory_space=pltpu.VMEM),
                 *tri_specs,
@@ -762,7 +751,7 @@ def fused_search(scene, o, d, time, t_min, t_max):
             transcendentals=0,
             bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4),
         interpret=INTERPRET,
-    )(ids, cnt, ent_sorted, feats, *tri_tabs,
+    )(ids, cnt, feats, *tri_tabs,
       time_p, tmin_p, tmax_p, sph, quad)
 
     bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]

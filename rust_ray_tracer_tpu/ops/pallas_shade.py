@@ -392,6 +392,13 @@ def _plane(x, pad, cp):
 
 
 def _light_table(scene):
+    # the backward kernel packs per-light gradient sums into lanes
+    # l*LT_COLS+j of one 128-lane accumulator row (_make_bwd_kernel);
+    # more lights than fit would silently drop gradients
+    assert scene.n_lights * LT_COLS <= LANES, (
+        f"pallas shade kernel supports at most {LANES // LT_COLS} sampled "
+        f"lights (got {scene.n_lights}); use RRT_NO_PALLAS_SHADE=1 or "
+        "widen the d_lt accumulator to more rows")
     if scene.n_lights:
         return jnp.concatenate(
             [scene.light_kind.astype(jnp.float32)[:, None],

@@ -92,14 +92,19 @@ def render_with_checkpoints(scene, width: int, height: int, spp: int,
     # wave in as a literal and recompiling the full wave program per
     # segment (2-7 min/compile on the tunneled backend). Only a
     # different-length tail segment triggers a second compile.
+    # ``scene`` is a TRACED argument too: closing over it would bake
+    # every SceneData array into the executable as a compile-time
+    # constant — at 1M-triangle scale that duplicates the tables into
+    # the program image, inflating compile time and HBM, instead of
+    # passing them as ordinary device buffers.
     if mesh is not None:
         from rust_ray_tracer_tpu.parallel.render import render_waves_sharded
 
-        def segment(acc, start, n):
+        def segment(scene, acc, start, n):
             return render_waves_sharded(scene, width, height, key, start, n,
                                         mesh, depth, chunk_size, acc0=acc)
     else:
-        def segment(acc, start, n):
+        def segment(scene, acc, start, n):
             return render_waves(scene, width, height, key, start, n, depth,
                                 chunk_size, acc0=acc)
 
@@ -107,8 +112,10 @@ def render_with_checkpoints(scene, width: int, height: int, spp: int,
 
     def run(acc, start, n):
         if n not in jitted:
-            jitted[n] = jax.jit(lambda acc, start: segment(acc, start, n))
-        return jitted[n](acc, jax.numpy.asarray(start, jax.numpy.int32))
+            jitted[n] = jax.jit(
+                lambda scene, acc, start: segment(scene, acc, start, n))
+        return jitted[n](scene, acc,
+                         jax.numpy.asarray(start, jax.numpy.int32))
 
     acc = jax.numpy.asarray(st.acc)
     done = st.waves_done

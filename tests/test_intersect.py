@@ -234,6 +234,62 @@ class TestMedium:
         h = run(sc, [0, 0, 0], [0, 0, -1], med_u=med_u)
         assert not bool(h.hit[0])
 
+    def test_box_boundary_oracle(self):
+        """Smoke in a box (constant_medium.rs:46-80 with a Cuboid
+        boundary): entry/exit are the slab interval, scatter at
+        t1 + (-1/rho·ln U)/|d|."""
+        rho = 2.0
+        med = S.ConstantMedium.from_color(
+            S.Cuboid((-1, -1, -6), (1, 1, -4), S.Dielectric(1.5)),
+            rho, (1, 0, 0))
+        sc = make([med])
+        u = 0.3
+        med_u = jnp.full((1, sc.n_media), u, jnp.float32)
+        h = run(sc, [0, 0, 0], [0, 0, -1], med_u=med_u)
+        expect = 4.0 + (-1.0 / rho) * np.log(u)
+        assert bool(h.hit[0])
+        np.testing.assert_allclose(float(h.t[0]), expect, rtol=1e-4)
+        # fixed (1,0,0) medium normal (constant_medium.rs:72)
+        np.testing.assert_allclose(np.asarray(h.normal[0]), [1, 0, 0])
+
+    def test_rotated_translated_box_boundary(self):
+        """RotateY(45°) square prism crossed along x: the diagonal chord
+        through the center has length 2·r√2... computed exactly below."""
+        rho = 4.0
+        box = S.Translate(
+            S.RotateY(S.Cuboid((-1, -1, -1), (1, 1, 1),
+                               S.Dielectric(1.5)), 45.0),
+            (5.0, 0.0, 0.0))
+        med = S.ConstantMedium.from_color(box, rho, (1, 0, 0))
+        sc = make([med])
+        u = 0.5
+        med_u = jnp.full((1, sc.n_media), u, jnp.float32)
+        # ray along +x through the prism center: hits the rotated box's
+        # corner-to-corner section; entry at 5 - sqrt(2), exit 5 + sqrt(2)
+        h = run(sc, [0, 0, 0], [1, 0, 0], med_u=med_u)
+        t1 = 5.0 - np.sqrt(2.0)
+        expect = t1 + (-1.0 / rho) * np.log(u)
+        assert bool(h.hit[0])
+        np.testing.assert_allclose(float(h.t[0]), expect, rtol=1e-4)
+
+    def test_box_flight_longer_than_chord_misses(self):
+        med = S.ConstantMedium.from_color(
+            S.Cuboid((-1, -1, -6), (1, 1, -4), S.Dielectric(1.5)),
+            0.1, (1, 0, 0))
+        sc = make([med])
+        med_u = jnp.full((1, sc.n_media), 1e-6, jnp.float32)
+        h = run(sc, [0, 0, 0], [0, 0, -1], med_u=med_u)
+        assert not bool(h.hit[0])
+
+    def test_ray_missing_box_boundary(self):
+        med = S.ConstantMedium.from_color(
+            S.Cuboid((-1, -1, -6), (1, 1, -4), S.Dielectric(1.5)),
+            50.0, (1, 0, 0))
+        sc = make([med])
+        med_u = jnp.full((1, sc.n_media), 0.5, jnp.float32)
+        h = run(sc, [0, 3, 0], [0, 0, -1], med_u=med_u)  # passes above
+        assert not bool(h.hit[0])
+
 
 class TestFlipFace:
     def test_flip_quirk(self):
