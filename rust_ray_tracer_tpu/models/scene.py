@@ -110,6 +110,16 @@ class SceneData(NamedTuple):
     tri_cluster_min: jnp.ndarray  # [K,3]
     tri_cluster_max: jnp.ndarray  # [K,3]
 
+    # Sub-cluster AABBs — the second level of the device hierarchy
+    # (big meshes only; empty otherwise). Each cluster of width W splits
+    # into W // max(128, W // 16) Morton-contiguous sub-spans; the mask
+    # pre-pass tests rays against SUB-boxes and the search kernel skips
+    # whole sub-matmuls via a per-(tile, cluster) survivor bitmask
+    # (ops/pallas_intersect.fused_search). This is the log-N pruning of
+    # the reference BVH (geometry/mod.rs:137-153) in MXU-tile form.
+    tri_sub_min: jnp.ndarray  # [K*SUB,3]
+    tri_sub_max: jnp.ndarray  # [K*SUB,3]
+
     # Sphere clusters (same design as triangle clusters; boxes swept over
     # the motion-blur time range).
     sph_cluster_min: jnp.ndarray  # [Ks,3]
@@ -781,9 +791,21 @@ def compile_scene(scene: Scene, seed: int = 0,
         # empty clusters (all-pad) keep inverted boxes (min > max); the
         # mask pre-pass rejects them explicitly (min <= max check in
         # ops/pallas_intersect._tile_cluster_mask)
+        # second hierarchy level: sub-cluster boxes at width
+        # max(128, tri_pad // 16) when clusters are wide enough to split
+        subw = max(CLUSTER, tri_pad // 16)
+        if tri_pad > subw:
+            ks = tn // subw
+            sub_min = lo.reshape(ks, subw, 3).min(1)
+            sub_max = hi.reshape(ks, subw, 3).max(1)
+        else:
+            sub_min = np.zeros((0, 3), np.float32)
+            sub_max = np.zeros((0, 3), np.float32)
     else:
         cl_min = np.zeros((0, 3), np.float32)
         cl_max = np.zeros((0, 3), np.float32)
+        sub_min = np.zeros((0, 3), np.float32)
+        sub_max = np.zeros((0, 3), np.float32)
 
     sphs = dict(
         c0=_stack(b.sphs, lambda r: r[0], (3,)),
@@ -920,6 +942,8 @@ def compile_scene(scene: Scene, seed: int = 0,
         tri_flip=j(tris["flip"]),
         tri_cluster_min=j(cl_min.astype(np.float32)),
         tri_cluster_max=j(cl_max.astype(np.float32)),
+        tri_sub_min=j(sub_min.astype(np.float32)),
+        tri_sub_max=j(sub_max.astype(np.float32)),
         sph_c0=j(sphs["c0"]), sph_c1=j(sphs["c1"]), sph_t0=j(sphs["t0"]),
         sph_t1=j(sphs["t1"]), sph_r=j(sphs["r"]), sph_mat=j(sphs["mat"]),
         sph_flip=j(sphs["flip"]),

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rust_ray_tracer_tpu.ops import camera as cam_ops
-from rust_ray_tracer_tpu.ops.intersect import intersect
+from rust_ray_tracer_tpu.ops.intersect import intersect, intersect_select
 from rust_ray_tracer_tpu.ops.shade import shade
 from rust_ray_tracer_tpu.utils import rng as rngu
 
@@ -59,7 +59,7 @@ def _save_names(scene):
     return SAVE_NAMES if scene.n_tris else SAVE_NAMES_NO_TRI
 
 
-def _bounce(scene, carry, bkey):
+def _bounce(scene, carry, bkey, rand=None):
     """One wavefront bounce: intersect + shade + state update.
 
     The whole bounce is guarded by ``lax.cond(any(alive))``: a chunk whose
@@ -67,26 +67,45 @@ def _bounce(scene, carry, bkey):
     remaining bounces entirely (every state update is alive-masked, so
     the identity branch is exact). Within a live chunk, dead lanes are
     still culled at tile granularity by the intersection kernels.
+
+    ``rand`` optionally supplies the bounce's whole random budget
+    ``(ub [C,9], gb [C,6], med_u [C,M])`` pre-gathered per ray (the
+    compacting wavefront, :func:`trace_wave_compact`); drawn from
+    ``bkey`` when None — identical threefry streams either way.
     """
 
     def run(carry):
         o, d, time, L, beta, alive = carry
         c = o.shape[0]
         med_u = None
-        if scene.n_media:
+        if rand is not None:
+            med_u = rand[2] if scene.n_media else None
+        elif scene.n_media:
             med_u = jax.random.uniform(rngu.stream(bkey, rngu.MEDIUM),
                                        (c, scene.n_media), dtype=o.dtype)
         # dead lanes get a collapsed t-window: they can't hit anything AND
         # the intersection kernels' cluster cull skips all-dead ray tiles —
         # wavefront compaction without gather/scatter (pallas_intersect.py)
         t_max = jnp.where(alive, jnp.inf, -1.0)
+
+        from rust_ray_tracer_tpu.ops import pallas_bounce as pb
+        from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+        from rust_ray_tracer_tpu.ops.intersect import _no_pallas
+        if (pk.on_tpu() and not _no_pallas()) and pb.eligible(scene):
+            # megakernel bounce: phase-2 + shading + the whole state
+            # update run as ONE Pallas kernel (ops/pallas_bounce.py);
+            # sampled paths are bitwise-identical to the split pipeline
+            sel = intersect_select(scene, o, d, time, med_u, t_max=t_max)
+            return pb.bounce_fused(scene, bkey, o, d, time, L, beta,
+                                   alive, sel,
+                                   rand=rand and rand[:2])
         hit = intersect(scene, o, d, time, med_u, t_max=t_max)
 
         miss = alive & ~hit.hit
         L = L + jnp.where(miss[:, None], beta * scene.background, 0.0)
 
         live = alive & hit.hit
-        sc = shade(scene, bkey, d, time, hit)
+        sc = shade(scene, bkey, d, time, hit, rand=rand and rand[:2])
         L = L + jnp.where(live[:, None], beta * sc.emitted, 0.0)
         beta = jnp.where(live[:, None], beta * sc.weight, beta)
         alive2 = live & sc.alive
@@ -129,6 +148,114 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     return carry[3]
 
 
+def _wave_bounce_randoms(scene, wkey, n_chunks: int, chunk_size: int, b):
+    """Bounce-``b`` random budget for EVERY lane of a wave, chunk-major.
+
+    Reproduces exactly the threefry streams the per-chunk path draws
+    (camera ckey -> CHUNK stream -> bounce key -> SCATTER/FUZZ/MEDIUM),
+    so the compacting wavefront can gather a ray's randomness from its
+    ORIGINAL (chunk, lane) coordinate no matter which compacted chunk
+    processes it — renders stay invariant to the compaction.
+    """
+    def one(cid):
+        ck = jax.random.fold_in(wkey, cid)
+        bk = rngu.bounce_key(rngu.stream(ck, rngu.CHUNK), b)
+        ub = jax.random.uniform(rngu.stream(bk, rngu.SCATTER),
+                                (chunk_size, 9), dtype=jnp.float32)
+        gb = jax.random.normal(rngu.stream(bk, rngu.FUZZ),
+                               (chunk_size, 6), dtype=jnp.float32)
+        mu = (jax.random.uniform(rngu.stream(bk, rngu.MEDIUM),
+                                 (chunk_size, scene.n_media),
+                                 dtype=jnp.float32)
+              if scene.n_media else jnp.zeros((chunk_size, 0),
+                                              jnp.float32))
+        return ub, gb, mu
+
+    ub, gb, mu = jax.vmap(one)(jnp.arange(n_chunks))
+    n = n_chunks * chunk_size
+    return ub.reshape(n, 9), gb.reshape(n, 6), mu.reshape(n, -1)
+
+
+def trace_wave_compact(scene, wkey, width: int, height: int,
+                       depth: int = MAX_DEPTH, chunk_size: int = 32768,
+                       remat: bool = True):
+    """One sample-wave with CROSS-CHUNK alive compaction — [W*H, 3].
+
+    The per-chunk wavefront only skips work when a whole chunk's lanes
+    die (the ``lax.cond`` early-out) or a whole tile's die (kernel-level
+    culling); occupancy-bound scenes (bright sky, full-frame geometry —
+    random/composite) keep ~half their lanes alive SPREAD ACROSS every
+    chunk, so every chunk pays every bounce. Here bounces run wave-major:
+    before each bounce all N rays are stably partitioned alive-first
+    across the WHOLE wave, so live rays pack into the leading chunks and
+    the trailing all-dead chunks skip via the existing early-out — the
+    CPU reference's pay-only-for-live-paths recursion (ray.rs:85-126) in
+    wavefront form.
+
+    Per-ray randomness is gathered from the ray's original (chunk, lane)
+    coordinate (:func:`_wave_bounce_randoms`) and every per-lane update
+    is position-independent, so both paths follow IDENTICAL sampled
+    trajectories; pixel values agree to fp-reassociation level (measured
+    maxabs <= 1e-6 at 2spp — XLA fuses the permuted graph differently,
+    same class as the documented shard_map drift in parallel/render.py),
+    and compact renders themselves are bitwise deterministic in
+    (seed, chunk_size).
+    """
+    n = width * height
+    n_chunks = -(-n // chunk_size)
+    n_pad = n_chunks * chunk_size
+
+    def prim(cid):
+        o, d, t, _ = cam_ops.camera_rays_for_chunk(
+            scene.camera, wkey, cid, chunk_size, width, height)
+        return o, d, t
+
+    o, d, t = lax.map(prim, jnp.arange(n_chunks))
+    o = o.reshape(n_pad, 3)
+    d = d.reshape(n_pad, 3)
+    t = t.reshape(n_pad)
+    L = jnp.zeros((n_pad, 3), o.dtype)
+    beta = jnp.ones((n_pad, 3), o.dtype)
+    alive = jnp.ones((n_pad,), bool)
+    rid = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def wave_bounce(carry, b):
+        o, d, t, L, beta, alive, rid = carry
+        # stable alive-first partition over the whole wave; pad lanes
+        # (rid >= n) ride along like any other ray
+        perm = jnp.argsort(~alive, stable=True)
+        o, d, t, L, beta, alive, rid = (
+            x[perm] for x in (o, d, t, L, beta, alive, rid))
+        ub, gb, mu = _wave_bounce_randoms(scene, wkey, n_chunks,
+                                          chunk_size, b)
+        rand = (ub[rid], gb[rid], mu[rid])
+
+        def chunk_bounce(args):
+            co, cd, ct, cL, cb, ca, cub, cgb, cmu = args
+            return _bounce(scene, (co, cd, ct, cL, cb, ca), None,
+                           rand=(cub, cgb, cmu))
+
+        rs = lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:])  # noqa: E731
+        outs = lax.map(chunk_bounce,
+                       tuple(map(rs, (o, d, t, L, beta, alive) + rand)))
+        o, d, t, L, beta, alive = (
+            x.reshape((n_pad,) + x.shape[2:]) for x in outs)
+        return (o, d, t, L, beta, alive, rid), None
+
+    body = wave_bounce
+    if remat:
+        policy = jax.checkpoint_policies.save_only_these_names(
+            *_save_names(scene))
+        body = jax.checkpoint(wave_bounce, policy=policy)
+
+    carry, _ = lax.scan(lambda c, b: body(c, b),
+                        (o, d, t, L, beta, alive, rid),
+                        jnp.arange(depth))
+    L, rid = carry[3], carry[6]
+    # undo the accumulated permutation: scatter L back to wave order
+    return jnp.zeros_like(L).at[rid].set(L)[:n]
+
+
 def render_chunk(scene, wkey, chunk_id, chunk_size: int,
                  width: int, height: int, depth: int = MAX_DEPTH,
                  remat: bool = True):
@@ -147,7 +274,8 @@ def render_chunk(scene, wkey, chunk_id, chunk_size: int,
 
 def render_waves(scene, width: int, height: int, key,
                  wave_start, n_waves: int, depth: int = MAX_DEPTH,
-                 chunk_size: int = 32768, remat: bool = True, acc0=None):
+                 chunk_size: int = 32768, remat: bool = True, acc0=None,
+                 compact: bool = False):
     """Sum of ``n_waves`` one-sample-per-pixel radiance images added onto
     ``acc0`` (zeros if None), [H,W,3].
 
@@ -155,6 +283,10 @@ def render_waves(scene, width: int, height: int, key,
     checkpoint/resume is *bitwise exact*: accumulating waves [0,k) and then
     continuing with ``acc0=partial, wave_start=k`` reproduces the monolithic
     run's float-add order ``(((w0+w1)+w2)+...)`` exactly.
+
+    ``compact=True`` runs each wave bounce-major with cross-chunk alive
+    compaction (:func:`trace_wave_compact`) — same image, fewer live
+    chunks per bounce on occupancy-bound scenes.
     """
     n = width * height
     n_chunks = -(-n // chunk_size)
@@ -162,6 +294,10 @@ def render_waves(scene, width: int, height: int, key,
 
     def one_wave(wave_i):
         wkey = rngu.wave_key(key, wave_i)
+        if compact:
+            rows = trace_wave_compact(scene, wkey, width, height, depth,
+                                      chunk_size, remat)
+            return cam_ops.image_from_positions(rows, width, height)
         L = lax.map(lambda c: render_chunk(scene, wkey, c, chunk_size,
                                            width, height, depth, remat),
                     jnp.arange(n_chunks))

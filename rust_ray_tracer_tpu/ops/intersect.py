@@ -434,20 +434,29 @@ def _search_order(o, t_min, t_max, cl_min, cl_max):
     return jnp.argsort(key)
 
 
-def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
-    """Closest hit for a chunk of rays.
+class Select(NamedTuple):
+    """Detached phase-1 winner + differentiable per-ray parameter packs.
 
-    Args:
-      scene: SceneData.
-      o, d: [C,3] ray origins / (unnormalized) directions.
-      time: [C] ray times.
-      med_u: [C, M] uniforms for constant-medium free-flight sampling
-        (required iff the scene has media).
-      t_min, t_max: [C] or scalars; defaults 1e-4 / inf (ray.rs:89).
-
-    Returns a :class:`Hit`. The winning-primitive choice is detached; the
-    returned (t, p, normal, u, v) are differentiable w.r.t. scene and ray.
+    Everything ``intersect`` needs before the phase-2 attribute math —
+    shared by the split hit/shade pipeline and the fused bounce
+    megakernel (ops/pallas_bounce.py).
     """
+    hit: jnp.ndarray        # [C] bool
+    kind: jnp.ndarray       # [C] int32 (KIND_*, detached)
+    idx: jnp.ndarray        # [C] int32 (detached)
+    mat: jnp.ndarray        # [C] int32 material id of the winner
+    flip: jnp.ndarray       # [C] bool
+    tri_pack: jnp.ndarray   # [C,9] differentiable winner params
+    sph_pack: jnp.ndarray   # [C,9]
+    quad_pack: jnp.ndarray  # [C,9]
+    t_med: jnp.ndarray      # [C] differentiable medium scatter t
+    t_min: jnp.ndarray      # [C]
+    t_max: jnp.ndarray      # [C]
+
+
+def intersect_select(scene, o, d, time, med_u=None, t_min=None,
+                     t_max=None) -> Select:
+    """Phase 1 (detached candidate search) + winner parameter gathers."""
     c = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(T_MIN if t_min is None else t_min,
                                          o.dtype), (c,))
@@ -599,6 +608,35 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
     quad_pack = checkpoint_name(quad_pack, "isect_packs")
     t_med_best = checkpoint_name(t_med_best, "isect_packs")
 
+    return Select(hit=hit_mask, kind=best_kind, idx=best_idx, mat=mat,
+                  flip=flip, tri_pack=tri_pack, sph_pack=sph_pack,
+                  quad_pack=quad_pack, t_med=t_med_best,
+                  t_min=t_min, t_max=t_max)
+
+
+def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
+    """Closest hit for a chunk of rays.
+
+    Args:
+      scene: SceneData.
+      o, d: [C,3] ray origins / (unnormalized) directions.
+      time: [C] ray times.
+      med_u: [C, M] uniforms for constant-medium free-flight sampling
+        (required iff the scene has media).
+      t_min, t_max: [C] or scalars; defaults 1e-4 / inf (ray.rs:89).
+
+    Returns a :class:`Hit`. The winning-primitive choice is detached; the
+    returned (t, p, normal, u, v) are differentiable w.r.t. scene and ray.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    sel = intersect_select(scene, o, d, time, med_u, t_min, t_max)
+    best_kind, flip = sel.kind, sel.flip
+    tri_pack, sph_pack, quad_pack = sel.tri_pack, sel.sph_pack, sel.quad_pack
+    t_med_best, t_min, t_max = sel.t_med, sel.t_min, sel.t_max
+
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
     if pk.on_tpu() and not _no_pallas():
         from rust_ray_tracer_tpu.ops.pallas_hit import hit_attrs_fused
         t, p, normal, uu, vv = hit_attrs_fused(
@@ -614,4 +652,5 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
     uu = checkpoint_name(uu, "hit_attrs")
     vv = checkpoint_name(vv, "hit_attrs")
 
-    return Hit(hit=hit_mask, t=t, p=p, normal=normal, u=uu, v=vv, mat=mat)
+    return Hit(hit=sel.hit, t=t, p=p, normal=normal, u=uu, v=vv,
+               mat=sel.mat)

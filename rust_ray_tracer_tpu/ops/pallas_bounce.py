@@ -1,0 +1,363 @@
+"""Pallas TPU megakernel: ONE fused kernel per wavefront bounce.
+
+Round-2 tracing showed suzanne's wave time is *depth-independent* and has
+no hot op — the cost is per-bounce machinery: the XLA fusion islands and
+plane pack/unpack between the hit-attrs kernel, the shade kernel and the
+estimator state update (each a [C,3]<->plane transpose + HBM round
+trip). This module collapses phase 2 + shading + the whole state update
+(``ray.rs:85-126`` estimator: miss/background add, emission add,
+throughput multiply, scatter, kill) into a single plane-layout Pallas
+kernel, so one bounce on the device is:
+
+    phase-1 search kernel -> XLA gathers/threefry -> THIS kernel
+
+The backward is a second kernel that takes ``jax.vjp`` of the SAME
+composed plane core (hit-attrs core + shade core + update) at trace
+time — the entire per-ray adjoint of a bounce runs fused in VMEM.
+
+Eligibility (static, per compiled scene): every texture leaf is a solid
+color (albedo is then a pure ``tex_color`` gather, done in XLA *before*
+the kernel so its scatter-add transpose stays with XLA); checker-of-
+solids is evaluated in-kernel (sin-product select at the freshly
+computed hit point). Noise/image textures keep the split pipeline. The
+light table + background row must fit the backward gradient accumulator
+(``(n_lights+1) * LT_COLS <= 128``). suzanne, the Cornell scenes, the
+glTF imports and ``random`` all qualify; ``final_scene``/composite
+(noise/image) fall back to the split kernels.
+
+Semantics: bitwise-identical sampled paths to the split path (same
+threefry streams, same detached-sampling discipline); the state update
+mirrors ops/integrator._bounce line for line.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.ad_checkpoint import checkpoint_name
+
+from rust_ray_tracer_tpu.ops import pallas_intersect as _pi
+from rust_ray_tracer_tpu.ops.pallas_hit import N_IN as N_HIT
+from rust_ray_tracer_tpu.ops.pallas_hit import _hit_plane_core
+from rust_ray_tracer_tpu.ops.pallas_shade import (
+    BR, LANES, LT_COLS, _light_table, _plane_core)
+from rust_ray_tracer_tpu.utils import rng as rngu
+
+# input plane indices (rows of the [N_IN_B, BR, 128] stack)
+#   0..36  : pallas_hit layout (o3 d3 time tmin tmax tri9 sph9 quad9 tmed)
+#   37..39 : albedo (solid leaf / checker base)
+#   40, 41 : fuzz, ior
+#   42..44 : L (radiance accum)    45..47 : beta (throughput)
+#   48..56 : ub (9 uniforms)       57..62 : gb (6 normals)
+#   63     : alive (0/1 float)
+#   64..69 : checker even / odd leaf colors (only when the scene has
+#            checker textures — N_IN_B grows by 6; the sin-product
+#            select runs in-kernel on the freshly computed hit p)
+N_IN_B = 64
+N_CHK = 6
+N_OUT_B = 13   # o'(3) d'(3) L'(3) beta'(3) alive'
+
+
+def _read_lt(lt_ref, rows):
+    return tuple(tuple(lt_ref[r, j] for j in range(LT_COLS))
+                 for r in range(rows))
+
+
+def _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
+                       has_checker=False):
+    """hit-attrs + shade + estimator update for one plane tile.
+
+    Args:
+      P: [N_IN_B(+N_CHK), BR, 128] float planes (layout above).
+      pkind: [BR,128] int32 primitive kind (intersect.KIND_*; NONE=miss).
+      mkind: [BR,128] int32 material kind (scene MAT_*).
+      flags: [BR,128] int32 — bit 0 FlipFace, bit 1 checker texture.
+      lt: tuple of n_lights+1 rows of LT_COLS scalars — light table plus
+        a trailing background row (cols 0..2 = background RGB).
+      n_lights: static light count.
+      has_checker: static — evaluate the checker select in-kernel.
+
+    Returns [N_OUT_B, BR, 128]. Detached sampling lives inside
+    _plane_core; the winning-primitive recompute (_hit_plane_core) is
+    differentiable — jax.vjp of this function is the bounce adjoint.
+    """
+    from rust_ray_tracer_tpu.ops.intersect import KIND_NONE
+
+    hit_out = _hit_plane_core(P[:N_HIT], pkind, flags & 1)
+    px, py, pz = hit_out[1], hit_out[2], hit_out[3]
+    nx, ny, nz = hit_out[4], hit_out[5], hit_out[6]
+
+    ax, ay, az = P[37], P[38], P[39]
+    if has_checker:
+        # checker (texture.rs:50-57): sin-product sign selects between
+        # the two solid leaves, at the in-kernel hit point. The select
+        # condition carries no gradient (same as the XLA texture_value).
+        sines = (jnp.sin(10.0 * px) * jnp.sin(10.0 * py)
+                 * jnp.sin(10.0 * pz))
+        is_chk = (flags & 2) > 0
+        odd = sines < 0.0
+        ax = jnp.where(is_chk, jnp.where(odd, P[67], P[64]), ax)
+        ay = jnp.where(is_chk, jnp.where(odd, P[68], P[65]), ay)
+        az = jnp.where(is_chk, jnp.where(odd, P[69], P[66]), az)
+
+    data = (P[3], P[4], P[5],       # d
+            px, py, pz, nx, ny, nz,
+            ax, ay, az,             # albedo
+            P[40], P[41])           # fuzz, ior
+    rng = tuple(P[48 + i] for i in range(15))
+    (emx, emy, emz, wtx, wty, wtz,
+     sdx, sdy, sdz, alive_f) = _plane_core(data, rng, mkind,
+                                           lt[:n_lights], n_lights)
+
+    ox, oy, oz = P[0], P[1], P[2]
+    dx, dy, dz = P[3], P[4], P[5]
+    Lx, Ly, Lz = P[42], P[43], P[44]
+    bx, by, bz = P[45], P[46], P[47]
+    alive_in = P[63] > 0.5
+    bgx, bgy, bgz = lt[n_lights][0], lt[n_lights][1], lt[n_lights][2]
+
+    is_hit = pkind != KIND_NONE
+    miss = alive_in & ~is_hit
+    live = alive_in & is_hit
+    zero = jnp.zeros_like(ox)
+    one = jnp.ones_like(ox)
+
+    # L += miss ? beta*background : 0 ; += live ? beta*emitted : 0
+    Lx = Lx + jnp.where(miss, bx * bgx, zero) + jnp.where(live, bx * emx,
+                                                          zero)
+    Ly = Ly + jnp.where(miss, by * bgy, zero) + jnp.where(live, by * emy,
+                                                          zero)
+    Lz = Lz + jnp.where(miss, bz * bgz, zero) + jnp.where(live, bz * emz,
+                                                          zero)
+    bx = jnp.where(live, bx * wtx, bx)
+    by = jnp.where(live, by * wty, by)
+    bz = jnp.where(live, bz * wtz, bz)
+    alive2 = live & (alive_f > 0.5)
+    ox = jnp.where(alive2, px, ox)
+    oy = jnp.where(alive2, py, oy)
+    oz = jnp.where(alive2, pz, oz)
+    dx = jnp.where(alive2, sdx, dx)
+    dy = jnp.where(alive2, sdy, dy)
+    dz = jnp.where(alive2, sdz, dz)
+    return jnp.stack([ox, oy, oz, dx, dy, dz, Lx, Ly, Lz, bx, by, bz,
+                      jnp.where(alive2, one, zero)])
+
+
+def _make_kernel(n_lights: int, has_checker: bool):
+    def kernel(planes_ref, pkind_ref, mkind_ref, flags_ref, lt_ref,
+               out_ref):
+        out_ref[:] = _bounce_plane_core(
+            planes_ref[:], pkind_ref[:], mkind_ref[:], flags_ref[:],
+            _read_lt(lt_ref, n_lights + 1), n_lights, has_checker)
+
+    return kernel
+
+
+def _make_bwd_kernel(n_lights: int, has_checker: bool):
+    """jax.vjp of the composed core, traced inside the kernel — primal
+    recompute + all transposes fuse into one Mosaic kernel. Outputs the
+    input-plane cotangents and (row 0 of) a [8,128] plane holding the
+    per-tile light-table+background gradient sums at lanes
+    r*LT_COLS + j."""
+    def kernel(planes_ref, pkind_ref, mkind_ref, flags_ref, lt_ref, g_ref,
+               dpl_ref, dlt_ref):
+        P = planes_ref[:]
+        pkind, mkind, flags = pkind_ref[:], mkind_ref[:], flags_ref[:]
+        lt = _read_lt(lt_ref, n_lights + 1)
+
+        def core(P_, lt_):
+            return _bounce_plane_core(P_, pkind, mkind, flags, lt_,
+                                      n_lights, has_checker)
+
+        _, vjp = jax.vjp(core, P, lt)
+        dP, dlt = vjp(g_ref[:])
+        dpl_ref[:] = dP
+
+        rows = n_lights + 1
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        for r in range(rows):
+            for j in range(LT_COLS):
+                s = dlt[r][j]                    # scalar (summed by vjp)
+                acc = acc + jnp.where((rr == 0) & (cc == r * LT_COLS + j),
+                                      s, 0.0)
+        dlt_ref[0] = acc
+
+    return kernel
+
+
+@jax.custom_vjp
+def _bounce_planes_call(planes, pkind_p, mkind_p, flags_p, lt):
+    """[N_IN, Cr, 128] planes -> [N_OUT_B, Cr, 128] next-state planes.
+
+    ``planes.shape[0]`` is N_IN_B (solid-only) or N_IN_B + N_CHK
+    (checker leaves appended) — a static shape that selects the kernel
+    variant."""
+    n_lights = lt.shape[0] - 1
+    n_in, cr = planes.shape[0], planes.shape[1]
+    return pl.pallas_call(
+        _make_kernel(n_lights, n_in > N_IN_B),
+        grid=(cr // BR,),
+        in_specs=[
+            pl.BlockSpec((n_in, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lt.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_OUT_B, cr, LANES), jnp.float32),
+        interpret=_pi.INTERPRET,
+    )(planes, pkind_p, mkind_p, flags_p, lt)
+
+
+def _bp_fwd(planes, pkind_p, mkind_p, flags_p, lt):
+    out = _bounce_planes_call(planes, pkind_p, mkind_p, flags_p, lt)
+    return out, (planes, pkind_p, mkind_p, flags_p, lt)
+
+
+def _bp_bwd(res, g):
+    planes, pkind_p, mkind_p, flags_p, lt = res
+    n_lights = lt.shape[0] - 1
+    n_in, cr = planes.shape[0], planes.shape[1]
+    dpl, dlt = pl.pallas_call(
+        _make_bwd_kernel(n_lights, n_in > N_IN_B),
+        grid=(cr // BR,),
+        in_specs=[
+            pl.BlockSpec((n_in, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lt.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_in, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_in, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cr // BR, 8, LANES), jnp.float32),
+        ],
+        interpret=_pi.INTERPRET,
+    )(planes, pkind_p, mkind_p, flags_p, lt, g)
+
+    rows = lt.shape[0]
+    d_lt = dpl.dtype.type(0) + dlt[:, 0, :rows * LT_COLS].sum(0).reshape(
+        rows, LT_COLS)
+    import numpy as np
+    zk = np.zeros(jnp.shape(pkind_p), jax.dtypes.float0)
+    return (dpl, zk, zk, zk, d_lt)
+
+
+_bounce_planes_call.defvjp(_bp_fwd, _bp_bwd)
+
+
+def eligible(scene) -> bool:
+    """Static megakernel eligibility for a compiled scene (docstring)."""
+    import os
+
+    if os.environ.get("RRT_NO_MEGAKERNEL", "") == "1":
+        return False
+    # no noise/image leaves (their albedo needs table lookups the kernel
+    # can't do); checker-of-solids is evaluated in-kernel
+    return (scene.perlin_vec.shape[0] == 0
+            and scene.img_data.shape[0] == 0
+            and (scene.n_lights + 1) * LT_COLS <= LANES)
+
+
+def bounce_fused(scene, bkey, o, d, time, L, beta, alive, sel,
+                 rand=None):
+    """One full wavefront bounce for the detached selection ``sel``.
+
+    Returns the next (o, d, time, L, beta, alive) carry — the drop-in
+    body of ops/integrator._bounce.run for eligible scenes. ``rand``
+    optionally supplies the (ub, gb) random blocks (compacting
+    wavefront); drawn from ``bkey`` when None — same streams either way.
+    """
+    c = o.shape[0]
+    f32 = o.dtype
+
+    # same gathers as ops/shade.shade (solid textures: albedo is a pure
+    # table gather — differentiable, scatter-add transpose stays in XLA)
+    mkind = scene.mat_kind[sel.mat]
+    tid = scene.mat_tex[sel.mat]
+    albedo = checkpoint_name(scene.tex_color[tid], "albedo")
+    mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[sel.mat]
+    has_checker = scene.tex_even.shape[0] > 0
+    if has_checker:
+        from rust_ray_tracer_tpu.models.scene import TEX_CHECKER
+        even = checkpoint_name(
+            scene.tex_color[scene.tex_even[tid]], "albedo")
+        odd = checkpoint_name(
+            scene.tex_color[scene.tex_odd[tid]], "albedo")
+        is_chk = scene.tex_kind[tid] == TEX_CHECKER
+
+    # the bounce's random budget — identical streams to shade() so the
+    # megakernel and split paths follow the same sampled trajectories
+    if rand is None:
+        ub = jax.random.uniform(rngu.stream(bkey, rngu.SCATTER), (c, 9),
+                                dtype=f32)
+        gb = jax.random.normal(rngu.stream(bkey, rngu.FUZZ), (c, 6),
+                               dtype=f32)
+    else:
+        ub, gb = rand
+    ub = checkpoint_name(ub, "shade_rand")
+    gb = checkpoint_name(gb, "shade_rand")
+
+    pad = (-c) % (BR * LANES)
+    cp = c + pad
+
+    def plane(x):
+        return jnp.pad(x, (0, pad)).reshape(cp // LANES, LANES)
+
+    feats = ([o[:, i] for i in range(3)] + [d[:, i] for i in range(3)]
+             + [time, sel.t_min, sel.t_max]
+             + [sel.tri_pack[:, i] for i in range(9)]
+             + [sel.sph_pack[:, i] for i in range(9)]
+             + [sel.quad_pack[:, i] for i in range(9)]
+             + [sel.t_med]
+             + [albedo[:, i] for i in range(3)]
+             + [mat_pack[:, 0], mat_pack[:, 1]]
+             + [L[:, i] for i in range(3)]
+             + [beta[:, i] for i in range(3)]
+             + [ub[:, i] for i in range(9)]
+             + [gb[:, i] for i in range(6)]
+             + [alive.astype(f32)])
+    flags = sel.flip.astype(jnp.int32)
+    if has_checker:
+        feats += ([even[:, i] for i in range(3)]
+                  + [odd[:, i] for i in range(3)])
+        flags = flags | (is_chk.astype(jnp.int32) << 1)
+    planes = jnp.stack([plane(x) for x in feats])
+    pkind_p = plane(sel.kind.astype(jnp.int32))
+    mkind_p = plane(mkind.astype(jnp.int32))
+    flags_p = plane(flags)
+
+    lt = jnp.concatenate(
+        [_light_table(scene) if scene.n_lights
+         else jnp.zeros((0, LT_COLS), jnp.float32),
+         jnp.pad(scene.background[None, :], ((0, 0), (0, LT_COLS - 3)))],
+        axis=0)
+
+    out = _bounce_planes_call(planes, pkind_p, mkind_p, flags_p, lt)
+    flat = out.reshape(N_OUT_B, cp)[:, :c]
+    return (flat[0:3].T, flat[3:6].T, time, flat[6:9].T, flat[9:12].T,
+            flat[12] > 0.5)

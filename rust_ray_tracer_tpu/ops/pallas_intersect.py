@@ -233,10 +233,16 @@ def tile_cluster_enter_pallas(o, d, cl_min, cl_max, t_min, t_max):
 
     Caller guarantees o/d/t are BC-padded (pad rays carry a collapsed
     window). K is padded to the 128-lane boundary with empty boxes.
+    Large box counts (sub-cluster level at big meshes) are swept in
+    lane chunks by a second grid dimension so the [BC, chunk]
+    intermediates stay a fixed VMEM size.
     """
     c = o.shape[0]
     k = cl_min.shape[0]
+    KC = 2048                                           # lanes per step
     kp = -(-k // 128) * 128
+    kc = min(kp, KC)
+    kp = -(-kp // kc) * kc
     clmin_p = jnp.pad(cl_min.T, ((0, 0), (0, kp - k)),
                       constant_values=jnp.inf)          # [3, Kp]
     clmax_p = jnp.pad(cl_max.T, ((0, 0), (0, kp - k)),
@@ -244,22 +250,22 @@ def tile_cluster_enter_pallas(o, d, cl_min, cl_max, t_min, t_max):
     tw = jnp.stack([t_min, t_max], axis=0)              # [2, C]
     ci = c // BC
     ci_p = -(-ci // 8) * 8
+    ray_spec = pl.BlockSpec((3, BC), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
     ent = pl.pallas_call(
         _mask_kernel,
-        grid=(ci,),
+        grid=(ci, kp // kc),
         in_specs=[
-            pl.BlockSpec((3, BC), lambda i: (0, i),
+            ray_spec,
+            ray_spec,
+            pl.BlockSpec((2, BC), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BC), lambda i: (0, i),
+            pl.BlockSpec((3, kc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BC), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp), lambda i: (0, 0),
+            pl.BlockSpec((3, kc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, kp), lambda i: (i // 8, 0),
+        out_specs=pl.BlockSpec((8, kc), lambda i, j: (i // 8, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ci_p, kp), jnp.float32),
         interpret=INTERPRET,
@@ -424,11 +430,12 @@ def _coeffs_from_pack(pk):
 
 
 def _tri_eval_fold(f, det_m, u_m, v_m, t_m, dbl, tmin, tmax, cid, width,
-                   fold):
+                   fold, off=0):
     """Shared tri tile evaluation: Plücker dots -> epilogue -> fold.
 
     ``cid`` is the (traced) cluster id this block came from; winning
-    triangle index = local argmin + cid * width.
+    triangle index = local argmin + cid * width + off (``off`` = the
+    static sub-block offset within the cluster).
     """
     dot = functools.partial(
         jax.lax.dot_general,
@@ -455,17 +462,22 @@ def _tri_eval_fold(f, det_m, u_m, v_m, t_m, dbl, tmin, tmax, cid, width,
     tt = jnp.where(valid, t, jnp.inf)
     loc_t = jnp.min(tt, axis=1, keepdims=True)
     loc_i = (jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
-             + cid * width)
+             + cid * width + off)
     fold(loc_t, loc_i, _K_TRI)
 
 
 def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
-                       k_last: int, packed: bool = False):
+                       k_last: int, packed: bool = False, sub: int = 0):
     """``packed=False``: tri data arrives as four [10, bt] coefficient
     blocks + a [1, bt] double-sided row. ``packed=True``: one [10, bt]
     vertex block (v0/e1/e2/dbl rows) and the coefficients are built
-    in-kernel (_coeffs_from_pack) — 4x less HBM traffic per cluster."""
-    def impl(ids_ref, cnt_ref, feats_ref, tri_refs, time_ref,
+    in-kernel (_coeffs_from_pack) — 4x less HBM traffic per cluster.
+    ``sub > 0``: the cluster splits into ``sub`` sub-spans and a
+    per-(tile, cluster) survivor bitmask (scalar-prefetched ``sub_ref``)
+    gates one guarded sub-matmul each — the second hierarchy level:
+    compute scales with the sub-boxes a tile's rays actually touch,
+    not the full cluster width."""
+    def impl(ids_ref, cnt_ref, sub_ref, feats_ref, tri_refs, time_ref,
              tmin_ref, tmax_ref, sph_ref, quad_ref,
              bt_ref, bk_ref, bi_ref):
         ti = pl.program_id(0)
@@ -510,16 +522,30 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
             # fold), ready for a finer-grained bound.
             @pl.when(tj < cnt_ref[ti])
             def _tri():
-                if packed:
-                    det_m, u_m, v_m, t_m, dbl = _coeffs_from_pack(
-                        tri_refs[0][:])
+                width = tri_refs[0].shape[1]
+                if sub:
+                    m = sub_ref[ti, tj]
+                    w = width // sub
+                    for s in range(sub):
+                        @pl.when((m & (1 << s)) != 0)
+                        def _one_sub(s=s):
+                            det_m, u_m, v_m, t_m, dbl = _coeffs_from_pack(
+                                tri_refs[0][:, s * w:(s + 1) * w])
+                            _tri_eval_fold(
+                                feats_ref[:], det_m, u_m, v_m, t_m, dbl,
+                                tmin_ref[:], tmax_ref[:],
+                                ids_ref[ti, tj], width, fold_tri,
+                                off=s * w)
                 else:
-                    det_m, u_m, v_m, t_m = (r[:] for r in tri_refs[:4])
-                    dbl = tri_refs[4][:]
-                _tri_eval_fold(feats_ref[:], det_m, u_m, v_m, t_m, dbl,
-                               tmin_ref[:], tmax_ref[:],
-                               ids_ref[ti, tj], tri_refs[0].shape[1],
-                               fold_tri)
+                    if packed:
+                        det_m, u_m, v_m, t_m, dbl = _coeffs_from_pack(
+                            tri_refs[0][:])
+                    else:
+                        det_m, u_m, v_m, t_m = (r[:] for r in tri_refs[:4])
+                        dbl = tri_refs[4][:]
+                    _tri_eval_fold(feats_ref[:], det_m, u_m, v_m, t_m,
+                                   dbl, tmin_ref[:], tmax_ref[:],
+                                   ids_ref[ti, tj], width, fold_tri)
 
         @pl.when(tj == k_last)
         def _small_tables():
@@ -600,17 +626,17 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                 fold(loc_t, loc_i, _K_QUAD)
 
     if packed:
-        def kernel(ids_ref, cnt_ref, feats_ref, pack_ref,
+        def kernel(ids_ref, cnt_ref, sub_ref, feats_ref, pack_ref,
                    time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                    bt_ref, bk_ref, bi_ref):
-            impl(ids_ref, cnt_ref, feats_ref, (pack_ref,),
+            impl(ids_ref, cnt_ref, sub_ref, feats_ref, (pack_ref,),
                  time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
     else:
-        def kernel(ids_ref, cnt_ref, feats_ref, det_ref, u_ref,
+        def kernel(ids_ref, cnt_ref, sub_ref, feats_ref, det_ref, u_ref,
                    v_ref, t_ref, dbl_ref, time_ref, tmin_ref, tmax_ref,
                    sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
-            impl(ids_ref, cnt_ref, feats_ref,
+            impl(ids_ref, cnt_ref, sub_ref, feats_ref,
                  (det_ref, u_ref, v_ref, t_ref, dbl_ref), time_ref,
                  tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
@@ -641,6 +667,8 @@ def fused_search(scene, o, d, time, t_min, t_max):
 
     packed = (t_n >= PACKED_MIN_TRIS if INKERNEL_COEFFS is None
               else INKERNEL_COEFFS)
+    sub = 0
+    sub_bits = None
     if has_tri:
         k = scene.tri_cluster_min.shape[0]
         t_total = scene.tri_v0.shape[0]
@@ -657,11 +685,29 @@ def fused_search(scene, o, d, time, t_min, t_max):
                 scene.tri_v0, scene.tri_e1, scene.tri_e2)
             dbl_p = scene.tri_double.astype(jnp.float32)[None, :]
             tri_tabs = (det_p, u_p, v_p, t_p, dbl_p)
-        ent = tile_cluster_enter_pallas(
-            feats[:, 0:3], feats[:, 3:6],
-            scene.tri_cluster_min, scene.tri_cluster_max,
-            tmin_p[:, 0],
-            jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0]))
+        tmax_mask = jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0])
+        n_sub_rows = scene.tri_sub_min.shape[0]
+        if packed and n_sub_rows and t_total // n_sub_rows < bt:
+            # two-level hierarchy: test rays against SUB-boxes, fold to
+            # cluster entries + per-(tile, cluster) survivor bitmasks
+            sub = bt // (t_total // n_sub_rows)
+            assert sub <= 31, sub   # bits in an int32 mask
+            ent_sub = tile_cluster_enter_pallas(
+                feats[:, 0:3], feats[:, 3:6],
+                scene.tri_sub_min, scene.tri_sub_max,
+                tmin_p[:, 0], tmax_mask)              # [Ci, K*sub]
+            ci = ent_sub.shape[0]
+            ent_sub = ent_sub.reshape(ci, k, sub)
+            ent = jnp.min(ent_sub, axis=2)            # [Ci, K]
+            weights = (1 << jnp.arange(sub, dtype=jnp.int32))
+            sub_bits = jnp.sum(
+                jnp.where(jnp.isfinite(ent_sub), weights[None, None], 0),
+                axis=2, dtype=jnp.int32)              # [Ci, K]
+        else:
+            ent = tile_cluster_enter_pallas(
+                feats[:, 0:3], feats[:, 3:6],
+                scene.tri_cluster_min, scene.tri_cluster_max,
+                tmin_p[:, 0], tmax_mask)
     else:
         bt = BT
         if packed:
@@ -683,6 +729,12 @@ def fused_search(scene, o, d, time, t_min, t_max):
     # (t, index).)
     cnt = jnp.sum(ent < jnp.inf, axis=1, dtype=jnp.int32)      # [Ci]
     ids = jnp.argsort(ent, axis=1, stable=True).astype(jnp.int32)
+    # survivor bitmasks travel in the ids order (sub_ref[ti, tj] gates
+    # the sub-blocks of cluster ids[ti, tj])
+    if sub_bits is not None:
+        subm = jnp.take_along_axis(sub_bits, ids, axis=1)
+    else:
+        subm = jnp.zeros((ids.shape[0], 1), jnp.int32)
 
     # sphere table [9, SP]: far-pad rows give disc = inf - inf = NaN,
     # rejected on every comparison path (see ops/pallas_sphere.py)
@@ -708,17 +760,17 @@ def fused_search(scene, o, d, time, t_min, t_max):
             [scene.quad_q.T, scene.quad_u.T, scene.quad_v.T], axis=0)
         quad = quad.at[:, :q_n].set(real[:, :q_n])
 
-    def cluster_ix(i, j, ids_r, cnt_r):
+    def cluster_ix(i, j, ids_r, cnt_r, sub_r):
         # survivor j of tile i; past the count, pin to the last survivor
         # (same block index -> the pipeline elides the copy)
         return (0, ids_r[i, jnp.minimum(j, jnp.maximum(cnt_r[i] - 1, 0))])
 
     coeff_spec = pl.BlockSpec((10, bt), cluster_ix,
                               memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((BC, 1), lambda i, j, ids_r, cnt_r: (i, 0),
+    ray_spec = pl.BlockSpec((BC, 1), lambda i, j, *pref: (i, 0),
                             memory_space=pltpu.VMEM)
     fix_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, j, ids_r, cnt_r: (0, 0),
+        shape, lambda i, j, *pref: (0, 0),
         memory_space=pltpu.VMEM)
     if packed:
         tri_specs = [coeff_spec]
@@ -727,12 +779,12 @@ def fused_search(scene, o, d, time, t_min, t_max):
             pl.BlockSpec((1, bt), cluster_ix, memory_space=pltpu.VMEM)]
     best_t, best_k, best_i = pl.pallas_call(
         _make_fused_kernel(has_tri, has_sph, has_quad, k - 1,
-                           packed=packed),
+                           packed=packed, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,            # ids, cnt
+            num_scalar_prefetch=3,            # ids, cnt, sub bitmasks
             grid=(cp // BC, k),
             in_specs=[
-                pl.BlockSpec((BC, 10), lambda i, j, ids_r, cnt_r: (i, 0),
+                pl.BlockSpec((BC, 10), lambda i, j, *pref: (i, 0),
                              memory_space=pltpu.VMEM),
                 *tri_specs,
                 ray_spec, ray_spec, ray_spec,
@@ -751,7 +803,7 @@ def fused_search(scene, o, d, time, t_min, t_max):
             transcendentals=0,
             bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4),
         interpret=INTERPRET,
-    )(ids, cnt, feats, *tri_tabs,
+    )(ids, cnt, subm, feats, *tri_tabs,
       time_p, tmin_p, tmax_p, sph, quad)
 
     bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]

@@ -53,7 +53,7 @@ def _rust_max_floor(pdf):
     return jnp.where(pdf > PDF_FLOOR, pdf, PDF_FLOOR)
 
 
-def shade(scene, key, d_in, time, hit) -> Scatter:
+def shade(scene, key, d_in, time, hit, rand=None) -> Scatter:
     """One bounce of material evaluation for rays that hit something.
 
     Args:
@@ -62,6 +62,10 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
       d_in: [C,3] incoming (unnormalized) ray directions.
       time: [C] ray times (unused by materials, kept by scattered rays).
       hit: intersect.Hit for these rays.
+      rand: optional externally drawn ``(ub [C,9], gb [C,6])`` random
+        blocks (the compacting wavefront gathers per-ray randomness
+        across chunks — integrator.trace_wave_compact); drawn here from
+        ``key`` when None.
 
     Outputs are only meaningful where ``hit.hit``; the integrator masks.
 
@@ -88,12 +92,15 @@ def shade(scene, key, d_in, time, hit) -> Scatter:
     # sampled paths (tools/verify_pallas_parity.py gate A is bitwise-
     # comparable end to end). Named as remat residuals: the backward
     # reuses the blocks instead of re-sweeping threefry.
-    ub = checkpoint_name(
-        jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
-                           dtype=f32), "shade_rand")
-    gb = checkpoint_name(
-        jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6),
-                          dtype=f32), "shade_rand")
+    if rand is None:
+        ub = jax.random.uniform(rngu.stream(key, rngu.SCATTER), (c, 9),
+                                dtype=f32)
+        gb = jax.random.normal(rngu.stream(key, rngu.FUZZ), (c, 6),
+                               dtype=f32)
+    else:
+        ub, gb = rand
+    ub = checkpoint_name(ub, "shade_rand")
+    gb = checkpoint_name(gb, "shade_rand")
     if (pk.on_tpu() and not _no_pallas()
             and os.environ.get("RRT_NO_PALLAS_SHADE", "") != "1"):
         from rust_ray_tracer_tpu.ops.pallas_shade import shade_fused

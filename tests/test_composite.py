@@ -55,6 +55,7 @@ def test_render_finite_and_lit(sd):
     assert img.max() > 0.5            # some path reaches the lamp
 
 
+@pytest.mark.slow
 def test_sharded_parity(sd):
     """Bitwise across device counts (same compiled chunk body); vs the
     sequential renderer only ~1e-5-close: XLA fuses the [C,10]@[10,4T]
@@ -71,6 +72,7 @@ def test_sharded_parity(sd):
     np.testing.assert_allclose(seq, imgs[8], atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_material_and_camera_grads(sd):
     """The config-5 gradient surface: every float leaf — materials,
     textures, vertices AND camera pose/fov — is differentiable."""

@@ -194,6 +194,7 @@ class TestMetalRoughSpheres:
     brute-force path tractable, and adds a lamp so roughness has a
     direction-dependent signal to differentiate against."""
 
+    @pytest.mark.slow
     def test_roughness_and_basecolor_grads(self):
         import os
         path = ("/root/reference/assets/MetalRoughSpheres/"
@@ -416,6 +417,7 @@ class TestMetalRoughSpheresFD:
             out.append((base, loss_k, int(fuzz_ids[0])))
         return out, keys
 
+    @pytest.mark.slow
     def test_roughness_fd_allclose(self, rigs):
         rig_list, keys = rigs
         for base, loss_k, i in rig_list:
@@ -438,6 +440,7 @@ class TestMetalRoughSpheresFD:
             assert np.isfinite(g[i]) and fd != 0.0
             np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=2e-4)
 
+    @pytest.mark.slow
     def test_basecolor_fd_allclose(self, rigs):
         rig_list, keys = rigs
         for base, loss_k, i in rig_list:

@@ -95,6 +95,7 @@ def test_light_importance_sampled_box():
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference/assets"),
                     reason="reference assets not mounted")
+@pytest.mark.slow
 def test_default_gltf_cube():
     """BASELINE config 1: the default.gltf scene, statistical parity."""
     from rust_ray_tracer_tpu.models.gltf import load_gltf_scene

@@ -72,6 +72,7 @@ def test_fused_hit_matches_core_through_intersect():
     assert np.isfinite(np.asarray(got.normal)).all()
 
 
+@pytest.mark.slow
 def test_fused_hit_grads_match():
     import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
 
@@ -102,6 +103,7 @@ def test_fused_hit_grads_match():
     assert (np.asarray(g_ref) != 0).any()
 
 
+@pytest.mark.slow
 def test_fused_hit_grads_rays_and_tables():
     """Backward-kernel parity for ray inputs (o, d, time) and the
     triangle/quad scene tables (the gather-transpose scatter-adds)."""

@@ -335,3 +335,56 @@ def test_entry_mask_kernel_matches_xla_mask():
     np.testing.assert_array_equal(np.isfinite(ent), mask.astype(bool))
     assert (ent[np.isfinite(ent)] >= 1e-4).all()
     assert not np.isfinite(ent[:, 3]).any()       # empty cluster
+
+
+def test_subcluster_bitmask_exact():
+    """Two-level hierarchy: with wide clusters (tri_pad=512 -> 4 sub-
+    spans of 128) the packed kernel sweeps only bitmask-surviving
+    sub-blocks; results must equal the XLA path and the non-packed
+    kernel bitwise (the sub-split only changes which tiles are
+    *skipped*, never a winner)."""
+    from rust_ray_tracer_tpu.ops.intersect import intersect
+
+    rng = np.random.default_rng(21)
+    mats = [S.Lambertian.from_rgb(0.5, 0.5, 0.5)]
+    world = []
+    for i in range(1000):
+        v0 = rng.uniform(-6, 6, 3).astype(np.float32)
+        v0[2] -= 8.0
+        e = rng.uniform(-0.3, 0.3, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[0],
+                                double_sided=bool(i % 2)))
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)), tri_pad=512)
+    assert sd.tri_sub_min.shape[0] == sd.tri_v0.shape[0] // 128
+    assert sd.tri_cluster_min.shape[0] == sd.tri_v0.shape[0] // 512
+
+    C = 600
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.zeros(C, jnp.float32)
+    t_max = jnp.where(jnp.arange(C) % 5 == 0, -1.0, jnp.inf)  # dead lanes
+
+    h_xla = intersect(sd, o, d, tt, t_max=t_max)
+
+    import rust_ray_tracer_tpu.ops.pallas_intersect as pkm
+    real_on_tpu = pkm.on_tpu
+    pkm.on_tpu = lambda: True
+    try:
+        pkm.INKERNEL_COEFFS = True     # packed + sub path
+        h_sub = intersect(sd, o, d, tt, t_max=t_max)
+        pkm.INKERNEL_COEFFS = False    # streamed tables, no sub
+        h_flat = intersect(sd, o, d, tt, t_max=t_max)
+    finally:
+        pkm.on_tpu = real_on_tpu
+        pkm.INKERNEL_COEFFS = None
+
+    m = np.asarray(h_xla.hit)
+    assert m.any() and (~m).any()
+    for ref in (h_xla, h_flat):
+        np.testing.assert_array_equal(np.asarray(ref.hit),
+                                      np.asarray(h_sub.hit))
+        np.testing.assert_allclose(np.asarray(ref.t)[m],
+                                   np.asarray(h_sub.t)[m], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ref.mat)[m],
+                                      np.asarray(h_sub.mat)[m])

@@ -68,6 +68,7 @@ def test_fused_matches_core(n_lights):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_grad_matches_core_grad():
     sd = scene_with_lights()
     args = rand_inputs(256, seed=3)
@@ -95,6 +96,7 @@ def test_fused_grad_matches_core_grad():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_grad_scene_and_geometry():
     """The fused backward kernel must reproduce vjp(shade_core) for the
     light-table (scene) gradients — reduced in-kernel to scalars — and

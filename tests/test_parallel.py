@@ -43,6 +43,7 @@ def test_sharded_equals_sequential_bitwise(n_dev):
     np.testing.assert_array_equal(seq, shd)
 
 
+@pytest.mark.slow
 def test_device_count_invariance():
     sd = scene()
     k = jax.random.PRNGKey(1)
@@ -62,6 +63,7 @@ def test_sharded_render_image_mean():
     assert img.shape == (H, W, 3)
 
 
+@pytest.mark.slow
 def test_sharded_grad_psum_matches_sequential():
     """Scene-parameter gradients through the sharded renderer equal the
     sequential ones: shard_map's transpose psums the replicated-scene

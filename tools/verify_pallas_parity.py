@@ -51,6 +51,27 @@ def render(scene):
     return np.asarray(jax.block_until_ready(img))
 
 
+def shard_gate(scene, img_seq):
+    """Gate B: shard_map x Mosaic interaction on the real chip — the
+    sharded renderer on a 1-device TPU mesh with the Pallas kernels
+    ENABLED must reproduce the sequential TPU render (CPU-mesh tests
+    force the XLA path, so only this pins the combination; VERDICT r2
+    weak #8). 1 device keeps it runnable on this box; chunk dealing and
+    the shard body are device-count-independent."""
+    from rust_ray_tracer_tpu.parallel.mesh import make_mesh
+    from rust_ray_tracer_tpu.parallel.render import (render_image_sharded,
+                                                     replicate_scene)
+
+    mesh = make_mesh(n_devices=1)
+    fn = jax.jit(lambda s, k: render_image_sharded(
+        s, W, H, SPP, k, mesh, depth=DEPTH, chunk_size=CHUNK))
+    img = np.asarray(jax.block_until_ready(
+        fn(replicate_scene(scene, mesh), jax.random.PRNGKey(0))))
+    bitwise = bool((img == img_seq).all())
+    maxabs = float(np.abs(img - img_seq).max())
+    return bitwise, maxabs, bool(np.isfinite(img).all())
+
+
 def main():
     import __graft_entry__
 
@@ -58,6 +79,7 @@ def main():
 
     os.environ.pop("RRT_NO_PALLAS", None)
     img_k = render(scene)
+    sh_bitwise, sh_maxabs, sh_finite = shard_gate(scene, img_k)
     os.environ["RRT_NO_PALLAS"] = "1"
     img_x = render(scene)
     os.environ.pop("RRT_NO_PALLAS", None)
@@ -65,14 +87,19 @@ def main():
     rel = (abs(img_k.mean() - img_x.mean())
            / max(abs(img_x.mean()), 1e-12))
     flips = float((np.abs(img_k - img_x).sum(-1) > FLIP_EPS).mean())
+    # sharded gate: documented fusion-reassociation allowance <= 5e-6
+    # (parallel/render.py); bitwise expected with the kernels enabled
+    sh_ok = sh_finite and (sh_bitwise or sh_maxabs <= 5e-6 * SPP)
     ok = bool(np.isfinite(img_k).all() and np.isfinite(img_x).all()
-              and rel < MEAN_TOL and flips < FLIP_TOL)
+              and rel < MEAN_TOL and flips < FLIP_TOL and sh_ok)
     print(json.dumps({
         "gate": "pallas_vs_xla_parity",
         "mean_pallas": round(float(img_k.mean()), 6),
         "mean_xla": round(float(img_x.mean()), 6),
         "rel_mean_diff": round(float(rel), 6),
         "pixel_flip_rate": round(flips, 5),
+        "sharded_1dev_bitwise": sh_bitwise,
+        "sharded_1dev_maxabs": sh_maxabs,
         "thresholds": {"rel_mean": MEAN_TOL, "flip_rate": FLIP_TOL},
         "ok": ok,
     }), flush=True)
