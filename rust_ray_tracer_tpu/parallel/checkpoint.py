@@ -66,6 +66,7 @@ def render_with_checkpoints(scene, width: int, height: int, spp: int,
                             seed: int, ckpt_path: str,
                             ckpt_every: int = 8, depth: int = MAX_DEPTH,
                             chunk_size: int = 32768, mesh=None,
+                            compact: bool = False,
                             progress=None):
     """Render ``spp`` waves, checkpointing every ``ckpt_every`` waves and
     resuming from ``ckpt_path`` if it exists. Returns the mean image.
@@ -106,7 +107,7 @@ def render_with_checkpoints(scene, width: int, height: int, spp: int,
     else:
         def segment(scene, acc, start, n):
             return render_waves(scene, width, height, key, start, n, depth,
-                                chunk_size, acc0=acc)
+                                chunk_size, acc0=acc, compact=compact)
 
     jitted = {}
 

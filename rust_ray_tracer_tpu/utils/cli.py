@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: all available)")
     p.add_argument("--chunk-size", type=int, default=32768,
                    help="rays per wavefront chunk")
+    p.add_argument("--compact", action="store_true",
+                   help="bounce-major cross-chunk alive compaction "
+                        "(wins on occupancy-bound scenes; sequential "
+                        "renders only)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file for resumable rendering")
     p.add_argument("--ckpt-every", type=int, default=8,
@@ -118,7 +122,8 @@ def main(argv=None) -> int:
     img = render_with_checkpoints(
         scene, width, height, spp, args.seed, ckpt,
         ckpt_every=args.ckpt_every, depth=args.depth,
-        chunk_size=args.chunk_size, mesh=mesh, progress=progress)
+        chunk_size=args.chunk_size, mesh=mesh, progress=progress,
+        compact=args.compact and mesh is None)
 
     if jax.process_index() == 0:
         u8 = np.asarray(tonemap_mean(jax.numpy.asarray(img)))

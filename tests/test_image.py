@@ -114,3 +114,31 @@ def test_image_texture_jpeg_fallback(tmp_path, monkeypatch):
     assert out is not None and out.shape == (16, 16, 3)
     assert abs(float(out[:, :4, 0].mean()) - 200 / 255) < 0.06
     assert abs(float(out[:, 12:, 1].mean()) - 200 / 255) < 0.06
+
+
+@pytest.mark.parametrize("fmt,kw", [
+    ("BMP", {}),
+    ("GIF", {}),
+    ("TIFF", {}),
+    ("PNG", {}),
+    ("JPEG", {"quality": 95, "progressive": True}),  # progressive scan
+])
+def test_image_texture_format_breadth(tmp_path, fmt, kw):
+    """The reference's `image` crate reads PNG/JPEG/BMP/GIF/TIFF
+    (texture.rs:84-107); ImageTexture covers the same breadth (PIL
+    primary, self-contained PNG/baseline-JPEG decoders as fallback)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from rust_ray_tracer_tpu.models.scene import ImageTexture
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :8] = (200, 40, 40)
+    img[:, 8:] = (40, 200, 40)
+    p = tmp_path / f"tex.{fmt.lower()}"
+    Image.fromarray(img).save(p, format=fmt, **kw)
+
+    out = ImageTexture(path=str(p)).load()
+    assert out is not None and out.shape == (16, 16, 3)
+    assert abs(float(out[:, :4, 0].mean()) - 200 / 255) < 0.06
+    assert abs(float(out[:, 12:, 1].mean()) - 200 / 255) < 0.06

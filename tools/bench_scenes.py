@@ -37,20 +37,23 @@ RENDER_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "renders")
 
 
-def bench_scene(name: str, iters: int = 6):
+def bench_scene(name: str, iters: int = 6, compact: bool = False):
     aspect = WIDTH / HEIGHT
     sd = compile_scene(builders.get_scene(name, aspect))
-    print(json.dumps({"scene": name, "probe": "compile",
-                      "n_tris": int(sd.n_tris),
-                      "n_spheres": int(sd.n_spheres),
-                      "n_quads": int(sd.n_quads)}), flush=True)
+    tag = "_compact" if compact else ""
+    if not compact:
+        print(json.dumps({"scene": name, "probe": "compile",
+                          "n_tris": int(sd.n_tris),
+                          "n_spheres": int(sd.n_spheres),
+                          "n_quads": int(sd.n_quads)}), flush=True)
 
     diff, static = partition(sd)
     key = jax.random.PRNGKey(0)
 
     def one_wave(diff, key, wave):
         return render_waves(combine(diff, static), WIDTH, HEIGHT, key,
-                            wave, 1, depth=DEPTH, chunk_size=CHUNK)
+                            wave, 1, depth=DEPTH, chunk_size=CHUNK,
+                            compact=compact)
 
     def loss_fn(diff, key, wave):
         return jnp.mean(one_wave(diff, key, wave))
@@ -70,10 +73,10 @@ def bench_scene(name: str, iters: int = 6):
         jax.block_until_ready(img)
         acc += np.asarray(img, np.float64)
     dt = (time.perf_counter() - t0) / iters
-    save_png(os.path.join(RENDER_DIR, f"{name}_bench.png"),
+    save_png(os.path.join(RENDER_DIR, f"{name}_bench{tag}.png"),
              np.asarray(tonemap_mean(jnp.asarray(acc / (iters + 1),
                                                  jnp.float32))))
-    print(json.dumps({"scene": name, "probe": "fwd",
+    print(json.dumps({"scene": name, "probe": "fwd" + tag,
                       "compile_s": round(fwd_compile, 1),
                       "ms_per_wave": round(dt * 1e3, 2),
                       "mrays_per_s": round(rays / dt / 1e6, 2),
@@ -90,7 +93,7 @@ def bench_scene(name: str, iters: int = 6):
         jax.block_until_ready((loss, grads))
     dt = (time.perf_counter() - t0) / iters
     leaves = jax.tree_util.tree_leaves(grads)
-    print(json.dumps({"scene": name, "probe": "fwd_bwd",
+    print(json.dumps({"scene": name, "probe": "fwd_bwd" + tag,
                       "compile_s": round(step_compile, 1),
                       "ms_per_wave": round(dt * 1e3, 2),
                       "mrays_per_s": round(rays / dt / 1e6, 2),
@@ -100,9 +103,14 @@ def bench_scene(name: str, iters: int = 6):
 
 
 def main():
-    names = sys.argv[1:] or ["random", "final_scene", "composite"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = args or ["random", "final_scene", "composite"]
+    both = "--compact" not in sys.argv and "--no-compact" not in sys.argv
     for name in names:
-        bench_scene(name)
+        if "--compact" not in sys.argv:
+            bench_scene(name)
+        if both or "--compact" in sys.argv:
+            bench_scene(name, compact=True)
 
 
 if __name__ == "__main__":
