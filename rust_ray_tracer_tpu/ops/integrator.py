@@ -148,8 +148,9 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     return carry[3]
 
 
-def _wave_bounce_randoms(scene, wkey, n_chunks: int, chunk_size: int, b):
-    """Bounce-``b`` random budget for EVERY lane of a wave, chunk-major.
+def _wave_bounce_randoms(scene, wkey, chunk_ids, chunk_size: int, b):
+    """Bounce-``b`` random budget for every lane of chunks ``chunk_ids``,
+    chunk-major.
 
     Reproduces exactly the threefry streams the per-chunk path draws
     (camera ckey -> CHUNK stream -> bounce key -> SCATTER/FUZZ/MEDIUM),
@@ -171,15 +172,21 @@ def _wave_bounce_randoms(scene, wkey, n_chunks: int, chunk_size: int, b):
                                               jnp.float32))
         return ub, gb, mu
 
-    ub, gb, mu = jax.vmap(one)(jnp.arange(n_chunks))
-    n = n_chunks * chunk_size
+    ub, gb, mu = jax.vmap(one)(chunk_ids)
+    n = chunk_ids.shape[0] * chunk_size
     return ub.reshape(n, 9), gb.reshape(n, 6), mu.reshape(n, -1)
 
 
 def trace_wave_compact(scene, wkey, width: int, height: int,
                        depth: int = MAX_DEPTH, chunk_size: int = 32768,
-                       remat: bool = True):
-    """One sample-wave with CROSS-CHUNK alive compaction — [W*H, 3].
+                       remat: bool = True, chunk_ids=None):
+    """One sample-wave with CROSS-CHUNK alive compaction.
+
+    Returns the [len(chunk_ids) * chunk_size, 3] radiance rows of chunks
+    ``chunk_ids`` (default: the whole wave) in chunk-major order — the
+    sequential caller crops the pad tail; the sharded caller passes this
+    device's round-robin ids and compaction stays shard-local (zero
+    cross-device communication, same as the per-chunk path).
 
     The per-chunk wavefront only skips work when a whole chunk's lanes
     die (the ``lax.cond`` early-out) or a whole tile's die (kernel-level
@@ -202,7 +209,9 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
     (seed, chunk_size).
     """
     n = width * height
-    n_chunks = -(-n // chunk_size)
+    if chunk_ids is None:
+        chunk_ids = jnp.arange(-(-n // chunk_size))
+    n_chunks = chunk_ids.shape[0]
     n_pad = n_chunks * chunk_size
 
     def prim(cid):
@@ -210,7 +219,7 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
             scene.camera, wkey, cid, chunk_size, width, height)
         return o, d, t
 
-    o, d, t = lax.map(prim, jnp.arange(n_chunks))
+    o, d, t = lax.map(prim, chunk_ids)
     o = o.reshape(n_pad, 3)
     d = d.reshape(n_pad, 3)
     t = t.reshape(n_pad)
@@ -226,7 +235,7 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
         perm = jnp.argsort(~alive, stable=True)
         o, d, t, L, beta, alive, rid = (
             x[perm] for x in (o, d, t, L, beta, alive, rid))
-        ub, gb, mu = _wave_bounce_randoms(scene, wkey, n_chunks,
+        ub, gb, mu = _wave_bounce_randoms(scene, wkey, chunk_ids,
                                           chunk_size, b)
         rand = (ub[rid], gb[rid], mu[rid])
 
@@ -252,8 +261,8 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
                         (o, d, t, L, beta, alive, rid),
                         jnp.arange(depth))
     L, rid = carry[3], carry[6]
-    # undo the accumulated permutation: scatter L back to wave order
-    return jnp.zeros_like(L).at[rid].set(L)[:n]
+    # undo the accumulated permutation: scatter L back to chunk-major order
+    return jnp.zeros_like(L).at[rid].set(L)
 
 
 def render_chunk(scene, wkey, chunk_id, chunk_size: int,
@@ -296,7 +305,7 @@ def render_waves(scene, width: int, height: int, key,
         wkey = rngu.wave_key(key, wave_i)
         if compact:
             rows = trace_wave_compact(scene, wkey, width, height, depth,
-                                      chunk_size, remat)
+                                      chunk_size, remat)[:n]
             return cam_ops.image_from_positions(rows, width, height)
         L = lax.map(lambda c: render_chunk(scene, wkey, c, chunk_size,
                                            width, height, depth, remat),

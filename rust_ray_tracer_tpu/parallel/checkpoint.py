@@ -103,7 +103,8 @@ def render_with_checkpoints(scene, width: int, height: int, spp: int,
 
         def segment(scene, acc, start, n):
             return render_waves_sharded(scene, width, height, key, start, n,
-                                        mesh, depth, chunk_size, acc0=acc)
+                                        mesh, depth, chunk_size, acc0=acc,
+                                        compact=compact)
     else:
         def segment(scene, acc, start, n):
             return render_waves(scene, width, height, key, start, n, depth,

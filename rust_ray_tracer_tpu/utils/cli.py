@@ -50,8 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rays per wavefront chunk")
     p.add_argument("--compact", action="store_true",
                    help="bounce-major cross-chunk alive compaction "
-                        "(wins on occupancy-bound scenes; sequential "
-                        "renders only)")
+                        "(wins on occupancy-bound scenes; shard-local "
+                        "under a device mesh)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file for resumable rendering")
     p.add_argument("--ckpt-every", type=int, default=8,
@@ -123,7 +123,7 @@ def main(argv=None) -> int:
         scene, width, height, spp, args.seed, ckpt,
         ckpt_every=args.ckpt_every, depth=args.depth,
         chunk_size=args.chunk_size, mesh=mesh, progress=progress,
-        compact=args.compact and mesh is None)
+        compact=args.compact)
 
     if jax.process_index() == 0:
         u8 = np.asarray(tonemap_mean(jax.numpy.asarray(img)))

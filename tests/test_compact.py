@@ -90,3 +90,48 @@ def test_compact_grads_match():
                                    err_msg=name)
         nonzero += bool((a != 0).any())
     assert nonzero >= 4
+
+
+def test_compact_with_megakernel_interpret():
+    """compact=True routes through _bounce, which picks the fused bounce
+    megakernel when the Pallas path is on — the combination must match
+    the plain per-chunk XLA render (same sampled paths)."""
+    from rust_ray_tracer_tpu.ops import pallas_bounce as pb
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pim
+
+    sd = occupancy_scene()
+    assert pb.eligible(sd)
+    key = jax.random.PRNGKey(13)
+    ref = np.asarray(render_waves(sd, 48, 32, key, 0, 1, chunk_size=256))
+
+    real_on_tpu = pim.on_tpu
+    pim.INTERPRET = True
+    pim.on_tpu = lambda: True
+    try:
+        got = np.asarray(render_waves(sd, 48, 32, key, 0, 1,
+                                      chunk_size=256, compact=True))
+    finally:
+        pim.on_tpu = real_on_tpu
+        pim.INTERPRET = False
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_compact_sharded_matches_sequential():
+    """Shard-local compaction over an 8-device CPU mesh reproduces the
+    sequential compact render (per-ray randomness keyed by global chunk
+    id; compaction never crosses shards)."""
+    from rust_ray_tracer_tpu.parallel.mesh import make_mesh
+    from rust_ray_tracer_tpu.parallel.render import (render_waves_sharded,
+                                                     replicate_scene)
+
+    sd = occupancy_scene()
+    key = jax.random.PRNGKey(2)
+    seq = np.asarray(render_waves(sd, 64, 48, key, 0, 1, chunk_size=256,
+                                  compact=True))
+    mesh = make_mesh(n_devices=8)
+    shd = np.asarray(render_waves_sharded(
+        replicate_scene(sd, mesh), 64, 48, key, 0, 1, mesh,
+        chunk_size=256, compact=True))
+    assert np.isfinite(shd).all()
+    np.testing.assert_allclose(shd, seq, atol=5e-6, rtol=1e-4)
