@@ -135,3 +135,34 @@ def test_compact_sharded_matches_sequential():
         chunk_size=256, compact=True))
     assert np.isfinite(shd).all()
     np.testing.assert_allclose(shd, seq, atol=5e-6, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_compact_megakernel_grads_interpret():
+    """Gradients through compact + fused-bounce megakernel match the
+    plain per-chunk XLA path."""
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pim
+
+    sd = occupancy_scene()
+    key = jax.random.PRNGKey(17)
+    diff, static = partition(sd)
+
+    def loss(diff, compact):
+        img = render_waves(combine(diff, static), 16, 12, key, 0, 1,
+                           chunk_size=192, compact=compact)
+        return jnp.mean(img)
+
+    g_ref = jax.grad(lambda d: loss(d, False))(diff)
+    real_on_tpu = pim.on_tpu
+    pim.INTERPRET = True
+    pim.on_tpu = lambda: True
+    try:
+        g_got = jax.grad(lambda d: loss(d, True))(diff)
+    finally:
+        pim.on_tpu = real_on_tpu
+        pim.INTERPRET = False
+    for name in ("tex_color", "sph_c0", "mat_fuzz", "background",
+                 "light_q"):
+        np.testing.assert_allclose(np.asarray(getattr(g_got, name)),
+                                   np.asarray(getattr(g_ref, name)),
+                                   rtol=5e-4, atol=1e-6, err_msg=name)

@@ -33,6 +33,24 @@ from rust_ray_tracer_tpu.ops.tonemap import tonemap_mean  # noqa: E402
 from rust_ray_tracer_tpu.utils.image import save_png  # noqa: E402
 
 WIDTH, HEIGHT, DEPTH, CHUNK = 512, 288, 4, 9216
+V5E_BF16_FLOPS = 394e12 / 2     # v5e peak: 394 TOPS int8 / 197 bf16
+V5E_HBM_BPS = 819e9
+
+
+def _cost(jitted, *args):
+    """XLA's own cost model for the compiled executable (includes the
+    Pallas kernels' CostEstimates) — lets BASELINE.md attribute a
+    measured ms to an MFU%% / HBM-BW%% roofline (VERDICT r2 weak #2)."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return {"flops": float(c.get("flops", -1.0)),
+                "bytes": float(c.get("bytes accessed", -1.0))}
+    except Exception as e:  # pragma: no cover - cost model availability
+        return {"error": str(e)[:120]}
+
+
 RENDER_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "renders")
 
@@ -66,6 +84,7 @@ def bench_scene(name: str, iters: int = 6, compact: bool = False):
     img = fwd(diff, key, 0)
     jax.block_until_ready(img)
     fwd_compile = time.perf_counter() - t0
+    cost = _cost(fwd, diff, key)
     acc = np.asarray(img, np.float64)
     t0 = time.perf_counter()
     for wv in range(1, iters + 1):
@@ -76,12 +95,19 @@ def bench_scene(name: str, iters: int = 6, compact: bool = False):
     save_png(os.path.join(RENDER_DIR, f"{name}_bench{tag}.png"),
              np.asarray(tonemap_mean(jnp.asarray(acc / (iters + 1),
                                                  jnp.float32))))
+    roof = {}
+    if cost.get("flops", 0) > 0:
+        roof = {"mfu_pct": round(cost["flops"] / dt / V5E_BF16_FLOPS
+                                 * 100, 2),
+                "hbm_bw_pct": round(cost["bytes"] / dt / V5E_HBM_BPS
+                                    * 100, 2)}
     print(json.dumps({"scene": name, "probe": "fwd" + tag,
                       "compile_s": round(fwd_compile, 1),
                       "ms_per_wave": round(dt * 1e3, 2),
                       "mrays_per_s": round(rays / dt / 1e6, 2),
                       "img_mean": round(float(acc.mean() / (iters + 1)), 4),
-                      "finite": bool(np.isfinite(acc).all())}), flush=True)
+                      "finite": bool(np.isfinite(acc).all()),
+                      **cost, **roof}), flush=True)
 
     t0 = time.perf_counter()
     loss, grads = step(diff, key, 0)
