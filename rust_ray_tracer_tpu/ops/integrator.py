@@ -101,6 +101,21 @@ def _bounce(scene, carry, bkey, rand=None):
                                    rand=rand and rand[:2])
         hit = intersect(scene, o, d, time, med_u, t_max=t_max)
 
+        if (pk.on_tpu() and not _no_pallas()) and pb.su_eligible(scene):
+            # partial megakernel for noise/image-texture scenes: albedo
+            # stays an XLA texture_value (perlin/image table gathers),
+            # but material eval + the whole estimator update run fused
+            # (ops/pallas_bounce.shade_update_fused)
+            from jax.ad_checkpoint import checkpoint_name
+
+            from rust_ray_tracer_tpu.ops.texture import texture_value
+            tex = scene.mat_tex[hit.mat]
+            albedo = checkpoint_name(
+                texture_value(scene, tex, hit.u, hit.v, hit.p), "albedo")
+            return pb.shade_update_fused(scene, bkey, o, d, time, L,
+                                         beta, alive, hit, albedo,
+                                         rand=rand and rand[:2])
+
         miss = alive & ~hit.hit
         L = L + jnp.where(miss[:, None], beta * scene.background, 0.0)
 

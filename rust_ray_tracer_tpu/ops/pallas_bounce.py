@@ -270,6 +270,236 @@ def _bp_bwd(res, g):
 _bounce_planes_call.defvjp(_bp_fwd, _bp_bwd)
 
 
+# ---- shade+update fused kernel (scenes the full megakernel can't take) ----
+#
+# Noise/image textures need table gathers the kernel can't do, so those
+# scenes keep the split hit-attrs kernel + XLA texture_value — but the
+# material evaluation AND the whole estimator state update still fuse
+# into ONE kernel, eliminating the [C,3] select/multiply fusion islands
+# between the shade kernel and the state update (ray.rs:85-126).
+#
+# SU plane layout ([N_SU, BR, 128]):
+#   0..2 o   3..5 d   6..8 p   9..11 n   12..14 albedo   15 fuzz 16 ior
+#   17..19 L   20..22 beta   23..31 ub(9)   32..37 gb(6)
+#   38 alive(0/1)   39 hit(0/1)
+N_SU = 40
+
+
+def _su_plane_core(P, mkind, lt, n_lights):
+    """_plane_core (material eval) + estimator update for one tile.
+
+    Same update semantics as _bounce_plane_core, with (p, n, albedo)
+    supplied as differentiable input planes instead of computed
+    in-kernel. Returns [N_OUT_B, BR, 128].
+    """
+    data = (P[3], P[4], P[5], P[6], P[7], P[8], P[9], P[10], P[11],
+            P[12], P[13], P[14], P[15], P[16])
+    rng = tuple(P[23 + i] for i in range(15))
+    (emx, emy, emz, wtx, wty, wtz,
+     sdx, sdy, sdz, alive_f) = _plane_core(data, rng, mkind,
+                                           lt[:n_lights], n_lights)
+
+    ox, oy, oz = P[0], P[1], P[2]
+    dx, dy, dz = P[3], P[4], P[5]
+    px, py, pz = P[6], P[7], P[8]
+    Lx, Ly, Lz = P[17], P[18], P[19]
+    bx, by, bz = P[20], P[21], P[22]
+    alive_in = P[38] > 0.5
+    is_hit = P[39] > 0.5
+    bgx, bgy, bgz = lt[n_lights][0], lt[n_lights][1], lt[n_lights][2]
+
+    miss = alive_in & ~is_hit
+    live = alive_in & is_hit
+    zero = jnp.zeros_like(ox)
+    one = jnp.ones_like(ox)
+    Lx = Lx + jnp.where(miss, bx * bgx, zero) + jnp.where(live, bx * emx,
+                                                          zero)
+    Ly = Ly + jnp.where(miss, by * bgy, zero) + jnp.where(live, by * emy,
+                                                          zero)
+    Lz = Lz + jnp.where(miss, bz * bgz, zero) + jnp.where(live, bz * emz,
+                                                          zero)
+    bx = jnp.where(live, bx * wtx, bx)
+    by = jnp.where(live, by * wty, by)
+    bz = jnp.where(live, bz * wtz, bz)
+    alive2 = live & (alive_f > 0.5)
+    ox = jnp.where(alive2, px, ox)
+    oy = jnp.where(alive2, py, oy)
+    oz = jnp.where(alive2, pz, oz)
+    dx = jnp.where(alive2, sdx, dx)
+    dy = jnp.where(alive2, sdy, dy)
+    dz = jnp.where(alive2, sdz, dz)
+    return jnp.stack([ox, oy, oz, dx, dy, dz, Lx, Ly, Lz, bx, by, bz,
+                      jnp.where(alive2, one, zero)])
+
+
+def _make_su_kernel(n_lights: int):
+    def kernel(planes_ref, mkind_ref, lt_ref, out_ref):
+        out_ref[:] = _su_plane_core(planes_ref[:], mkind_ref[:],
+                                    _read_lt(lt_ref, n_lights + 1),
+                                    n_lights)
+
+    return kernel
+
+
+def _make_su_bwd_kernel(n_lights: int):
+    def kernel(planes_ref, mkind_ref, lt_ref, g_ref, dpl_ref, dlt_ref):
+        P = planes_ref[:]
+        mkind = mkind_ref[:]
+        lt = _read_lt(lt_ref, n_lights + 1)
+
+        def core(P_, lt_):
+            return _su_plane_core(P_, mkind, lt_, n_lights)
+
+        _, vjp = jax.vjp(core, P, lt)
+        dP, dlt = vjp(g_ref[:])
+        dpl_ref[:] = dP
+
+        rows = n_lights + 1
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        for r in range(rows):
+            for j in range(LT_COLS):
+                s = dlt[r][j]
+                acc = acc + jnp.where((rr == 0) & (cc == r * LT_COLS + j),
+                                      s, 0.0)
+        dlt_ref[0] = acc
+
+    return kernel
+
+
+@jax.custom_vjp
+def _su_planes_call(planes, mkind_p, lt):
+    n_lights = lt.shape[0] - 1
+    cr = planes.shape[1]
+    return pl.pallas_call(
+        _make_su_kernel(n_lights),
+        grid=(cr // BR,),
+        in_specs=[
+            pl.BlockSpec((N_SU, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lt.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_OUT_B, cr, LANES), jnp.float32),
+        interpret=_pi.INTERPRET,
+    )(planes, mkind_p, lt)
+
+
+def _su_fwd(planes, mkind_p, lt):
+    return _su_planes_call(planes, mkind_p, lt), (planes, mkind_p, lt)
+
+
+def _su_bwd(res, g):
+    planes, mkind_p, lt = res
+    n_lights = lt.shape[0] - 1
+    cr = planes.shape[1]
+    dpl, dlt = pl.pallas_call(
+        _make_su_bwd_kernel(n_lights),
+        grid=(cr // BR,),
+        in_specs=[
+            pl.BlockSpec((N_SU, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lt.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_SU, BR, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_SU, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cr // BR, 8, LANES), jnp.float32),
+        ],
+        interpret=_pi.INTERPRET,
+    )(planes, mkind_p, lt, g)
+    rows = lt.shape[0]
+    d_lt = dlt[:, 0, :rows * LT_COLS].sum(0).reshape(rows, LT_COLS)
+    import numpy as np
+    zk = np.zeros(jnp.shape(mkind_p), jax.dtypes.float0)
+    return (dpl, zk, d_lt)
+
+
+_su_planes_call.defvjp(_su_fwd, _su_bwd)
+
+
+def su_eligible(scene) -> bool:
+    """shade+update fusion works for ANY texture set (albedo arrives as
+    a plane); only the light-table row budget gates it."""
+    import os
+
+    if os.environ.get("RRT_NO_MEGAKERNEL", "") == "1":
+        return False
+    if os.environ.get("RRT_NO_PALLAS_SHADE", "") == "1":
+        return False   # debugging isolation: keep shade() reachable
+    return (scene.n_lights + 1) * LT_COLS <= LANES
+
+
+def shade_update_fused(scene, bkey, o, d, time, L, beta, alive, hit,
+                       albedo, rand=None):
+    """Fused material eval + estimator update for a split-pipeline hit.
+
+    Drop-in for the tail of ops/integrator._bounce.run when the full
+    megakernel is ineligible (noise/image textures): ``hit`` comes from
+    the usual intersect() (hit-attrs kernel), ``albedo`` from the XLA
+    texture_value — both stay differentiable through this kernel's vjp.
+    """
+    c = o.shape[0]
+    f32 = o.dtype
+    mkind = scene.mat_kind[hit.mat]
+    mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[hit.mat]
+
+    if rand is None:
+        ub = jax.random.uniform(rngu.stream(bkey, rngu.SCATTER), (c, 9),
+                                dtype=f32)
+        gb = jax.random.normal(rngu.stream(bkey, rngu.FUZZ), (c, 6),
+                               dtype=f32)
+    else:
+        ub, gb = rand
+    ub = checkpoint_name(ub, "shade_rand")
+    gb = checkpoint_name(gb, "shade_rand")
+
+    pad = (-c) % (BR * LANES)
+    cp = c + pad
+
+    def plane(x):
+        return jnp.pad(x, (0, pad)).reshape(cp // LANES, LANES)
+
+    feats = ([o[:, i] for i in range(3)] + [d[:, i] for i in range(3)]
+             + [hit.p[:, i] for i in range(3)]
+             + [hit.normal[:, i] for i in range(3)]
+             + [albedo[:, i] for i in range(3)]
+             + [mat_pack[:, 0], mat_pack[:, 1]]
+             + [L[:, i] for i in range(3)]
+             + [beta[:, i] for i in range(3)]
+             + [ub[:, i] for i in range(9)]
+             + [gb[:, i] for i in range(6)]
+             + [alive.astype(f32), hit.hit.astype(f32)])
+    planes = jnp.stack([plane(x) for x in feats])
+    mkind_p = plane(mkind.astype(jnp.int32))
+
+    lt = jnp.concatenate(
+        [_light_table(scene) if scene.n_lights
+         else jnp.zeros((0, LT_COLS), jnp.float32),
+         jnp.pad(scene.background[None, :], ((0, 0), (0, LT_COLS - 3)))],
+        axis=0)
+
+    out = _su_planes_call(planes, mkind_p, lt)
+    flat = out.reshape(N_OUT_B, cp)[:, :c]
+    return (flat[0:3].T, flat[3:6].T, time, flat[6:9].T, flat[9:12].T,
+            flat[12] > 0.5)
+
+
 def eligible(scene) -> bool:
     """Static megakernel eligibility for a compiled scene (docstring)."""
     import os
