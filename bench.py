@@ -38,6 +38,30 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
+
+
+def _device_watchdog(timeout_s: float = 900.0):
+    """Fail loudly instead of hanging forever when the tunneled TPU
+    backend is unreachable (observed multi-hour outages): device init
+    runs in a daemon thread; on timeout print an error JSON and exit."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            jax.devices()
+            done.set()
+        except Exception:
+            pass  # main thread will time out and report
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "suzanne_fwd_bwd_mrays_per_s_per_chip",
+            "error": f"device init timed out after {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable)"}), flush=True)
+        os._exit(3)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # measured by tools/measure_baseline.py on this 4-core host (see module
@@ -58,6 +82,7 @@ def main():
     from rust_ray_tracer_tpu.models.scene import combine, partition
     from rust_ray_tracer_tpu.ops.integrator import render_waves
 
+    _device_watchdog()
     scene = flagship_scene()
     diff, static = partition(scene)
     key = jax.random.PRNGKey(0)

@@ -44,6 +44,7 @@ equal t (lowest triangle index wins). The cluster cull is conservative
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -687,6 +688,8 @@ def fused_search(scene, o, d, time, t_min, t_max):
             tri_tabs = (det_p, u_p, v_p, t_p, dbl_p)
         tmax_mask = jnp.where(tmax_p[:, 0] < 0, -jnp.inf, tmax_p[:, 0])
         n_sub_rows = scene.tri_sub_min.shape[0]
+        if os.environ.get("RRT_NO_SUB", "") == "1":   # ablation gate
+            n_sub_rows = 0
         if packed and n_sub_rows and t_total // n_sub_rows < bt:
             # two-level hierarchy: test rays against SUB-boxes, fold to
             # cluster entries + per-(tile, cluster) survivor bitmasks

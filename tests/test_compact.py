@@ -166,3 +166,32 @@ def test_compact_megakernel_grads_interpret():
         np.testing.assert_allclose(np.asarray(getattr(g_got, name)),
                                    np.asarray(getattr(g_ref, name)),
                                    rtol=5e-4, atol=1e-6, err_msg=name)
+
+
+def test_compact_with_shade_update_fused_interpret():
+    """compact + the partial megakernel (noise albedo in XLA, fused
+    shade/update) — the random-scene combination on hardware."""
+    from rust_ray_tracer_tpu.ops import pallas_bounce as pb
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pim
+
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, [
+        S.Sphere((0, -101, -4), 100.0, S.Lambertian(S.Noise(4.0))),
+        S.Sphere((0, 0, -4), 1.0, S.Lambertian.from_rgb(0.5, 0.4, 0.3)),
+        S.Sphere((-2.2, 0, -4), 1.0, S.Metal((0.8, 0.8, 0.9), 0.1)),
+    ], [], (0.7, 0.8, 1.0)))
+    assert not pb.eligible(sd) and pb.su_eligible(sd)
+    key = jax.random.PRNGKey(29)
+    ref = np.asarray(render_waves(sd, 48, 32, key, 0, 1, chunk_size=256))
+
+    real_on_tpu = pim.on_tpu
+    pim.INTERPRET = True
+    pim.on_tpu = lambda: True
+    try:
+        got = np.asarray(render_waves(sd, 48, 32, key, 0, 1,
+                                      chunk_size=256, compact=True))
+    finally:
+        pim.on_tpu = real_on_tpu
+        pim.INTERPRET = False
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
