@@ -42,7 +42,7 @@ from rust_ray_tracer_tpu.ops import pallas_intersect as _pi
 from rust_ray_tracer_tpu.ops.pallas_hit import N_IN as N_HIT
 from rust_ray_tracer_tpu.ops.pallas_hit import _hit_plane_core
 from rust_ray_tracer_tpu.ops.pallas_shade import (
-    BR, LANES, LT_COLS, _light_table, _plane_core)
+    LANES, LT_COLS, _light_table, _plane_core)
 from rust_ray_tracer_tpu.utils import rng as rngu
 
 # input plane indices (rows of the [N_IN_B, BR, 128] stack)
@@ -58,6 +58,19 @@ from rust_ray_tracer_tpu.utils import rng as rngu
 N_IN_B = 64
 N_CHK = 6
 N_OUT_B = 13   # o'(3) d'(3) L'(3) beta'(3) alive'
+
+
+def _pick_br(cr: int) -> int:
+    """Largest row-block in {32, 16, 8} dividing the plane row count.
+
+    BR=32 forces 4096-lane granularity — at the tuned chunk 9216 that
+    pads 33% dead lanes into every kernel; rows=72 divides by 8, so the
+    adaptive pick makes the pad zero (host packers pad to 8*LANES).
+    """
+    for br in (32, 16, 8):
+        if cr % br == 0:
+            return br
+    raise ValueError(f"plane rows {cr} not a multiple of 8")
 
 
 def _read_lt(lt_ref, rows):
@@ -198,22 +211,23 @@ def _bounce_planes_call(planes, pkind_p, mkind_p, flags_p, lt):
     variant."""
     n_lights = lt.shape[0] - 1
     n_in, cr = planes.shape[0], planes.shape[1]
+    br = _pick_br(cr)
     return pl.pallas_call(
         _make_kernel(n_lights, n_in > N_IN_B),
-        grid=(cr // BR,),
+        grid=(cr // br,),
         in_specs=[
-            pl.BlockSpec((n_in, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((n_in, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((N_OUT_B, br, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_OUT_B, cr, LANES), jnp.float32),
         interpret=_pi.INTERPRET,
@@ -229,32 +243,33 @@ def _bp_bwd(res, g):
     planes, pkind_p, mkind_p, flags_p, lt = res
     n_lights = lt.shape[0] - 1
     n_in, cr = planes.shape[0], planes.shape[1]
+    br = _pick_br(cr)
     dpl, dlt = pl.pallas_call(
         _make_bwd_kernel(n_lights, n_in > N_IN_B),
-        grid=(cr // BR,),
+        grid=(cr // br,),
         in_specs=[
-            pl.BlockSpec((n_in, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((n_in, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_OUT_B, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_in, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((n_in, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_in, cr, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((cr // BR, 8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cr // br, 8, LANES), jnp.float32),
         ],
         interpret=_pi.INTERPRET,
     )(planes, pkind_p, mkind_p, flags_p, lt, g)
@@ -372,18 +387,19 @@ def _make_su_bwd_kernel(n_lights: int):
 def _su_planes_call(planes, mkind_p, lt):
     n_lights = lt.shape[0] - 1
     cr = planes.shape[1]
+    br = _pick_br(cr)
     return pl.pallas_call(
         _make_su_kernel(n_lights),
-        grid=(cr // BR,),
+        grid=(cr // br,),
         in_specs=[
-            pl.BlockSpec((N_SU, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_SU, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((N_OUT_B, br, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_OUT_B, cr, LANES), jnp.float32),
         interpret=_pi.INTERPRET,
@@ -398,28 +414,29 @@ def _su_bwd(res, g):
     planes, mkind_p, lt = res
     n_lights = lt.shape[0] - 1
     cr = planes.shape[1]
+    br = _pick_br(cr)
     dpl, dlt = pl.pallas_call(
         _make_su_bwd_kernel(n_lights),
-        grid=(cr // BR,),
+        grid=(cr // br,),
         in_specs=[
-            pl.BlockSpec((N_SU, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_SU, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_OUT_B, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_OUT_B, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((N_SU, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_SU, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N_SU, cr, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((cr // BR, 8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cr // br, 8, LANES), jnp.float32),
         ],
         interpret=_pi.INTERPRET,
     )(planes, mkind_p, lt, g)
@@ -469,7 +486,7 @@ def shade_update_fused(scene, bkey, o, d, time, L, beta, alive, hit,
     ub = checkpoint_name(ub, "shade_rand")
     gb = checkpoint_name(gb, "shade_rand")
 
-    pad = (-c) % (BR * LANES)
+    pad = (-c) % (8 * LANES)
     cp = c + pad
 
     def plane(x):
@@ -552,7 +569,7 @@ def bounce_fused(scene, bkey, o, d, time, L, beta, alive, sel,
     ub = checkpoint_name(ub, "shade_rand")
     gb = checkpoint_name(gb, "shade_rand")
 
-    pad = (-c) % (BR * LANES)
+    pad = (-c) % (8 * LANES)
     cp = c + pad
 
     def plane(x):
