@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rust_ray_tracer_tpu.ops import pallas_intersect as _pi
 from rust_ray_tracer_tpu.ops.pallas_shade import (
-    BR, LANES, _dot, _normalize, _safe_sqrt)
+    LANES, _dot, _normalize, _pick_br, _safe_sqrt)
 
 EPS = 1e-12
 N_IN = 37    # o(3) d(3) time tmin tmax tri(9) sph(9) quad(9) tmed
@@ -202,18 +202,19 @@ def _bwd_kernel(planes_ref, kind_ref, flip_ref, g_ref, dpl_ref):
 def _hit_planes_call(planes, kind_p, flip_p):
     """[N_IN, Cr, 128] planes -> [N_OUT, Cr, 128] attribute planes."""
     cr = planes.shape[1]
+    br = _pick_br(cr)
     return pl.pallas_call(
         _kernel,
-        grid=(cr // BR,),
+        grid=(cr // br,),
         in_specs=[
-            pl.BlockSpec((N_IN, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_IN, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N_OUT, BR, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((N_OUT, br, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_OUT, cr, LANES), jnp.float32),
         interpret=_pi.INTERPRET,
@@ -228,20 +229,21 @@ def _hp_fwd(planes, kind_p, flip_p):
 def _hp_bwd(res, g):
     planes, kind_p, flip_p = res
     cr = planes.shape[1]
+    br = _pick_br(cr)
     dplanes = pl.pallas_call(
         _bwd_kernel,
-        grid=(cr // BR,),
+        grid=(cr // br,),
         in_specs=[
-            pl.BlockSpec((N_IN, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_IN, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_OUT, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_OUT, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N_IN, BR, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((N_IN, br, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_IN, cr, LANES), jnp.float32),
         interpret=_pi.INTERPRET,
@@ -263,7 +265,7 @@ def hit_attrs_fused(o, d, time, t_min, t_max, kind, flip,
     from rust_ray_tracer_tpu.ops.intersect import KIND_SPH, _sphere_uv
 
     c = o.shape[0]
-    pad = (-c) % (BR * LANES)
+    pad = (-c) % (8 * LANES)
     cp = c + pad
 
     def plane(x):

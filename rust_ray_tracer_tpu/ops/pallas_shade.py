@@ -55,6 +55,16 @@ from rust_ray_tracer_tpu.ops.shade import Scatter
 
 LANES = 128
 BR = 32                 # plane rows per grid step (rays/step = BR*128)
+
+
+def _pick_br(cr: int) -> int:
+    """Largest row-block in {32, 16, 8} dividing the plane row count —
+    BR=32 alone forces 4096-lane granularity, which pads 33% dead lanes
+    at the tuned 9216-lane chunk (72 rows -> br=8, zero pad)."""
+    for br in (32, 16, 8):
+        if cr % br == 0:
+            return br
+    raise ValueError(f"plane rows {cr} not a multiple of 8")
 PDF_FLOOR = 1e-5        # ray.rs:112
 EPS = 1e-12
 PI = 3.14159265358979
@@ -412,7 +422,7 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
     """Run the forward kernel on XLA-drawn randoms. Returns a Scatter."""
     c = d_in.shape[0]
     L = scene.n_lights
-    pad = (-c) % (BR * LANES)
+    pad = (-c) % (8 * LANES)
     cp = c + pad
 
     feats = ([d_in[:, i] for i in range(3)]
@@ -427,19 +437,20 @@ def _shade_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
 
     lt = _light_table(scene)
     cr = cp // LANES
-    grid = (cr // BR,)
+    br = _pick_br(cr)
+    grid = (cr // br,)
     out = pl.pallas_call(
         _make_kernel(L),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N_DATA + N_RNG, BR, LANES),
+            pl.BlockSpec((N_DATA + N_RNG, br, LANES),
                          lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((10, BR, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((10, br, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((10, cr, LANES), jnp.float32),
         interpret=_pi.INTERPRET,
@@ -457,7 +468,7 @@ def _shade_bwd_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
     d_ior, d_lt [L, LT_COLS])."""
     c = d_in.shape[0]
     L = scene.n_lights
-    pad = (-c) % (BR * LANES)
+    pad = (-c) % (8 * LANES)
     cp = c + pad
 
     feats = ([d_in[:, i] for i in range(3)]
@@ -475,22 +486,23 @@ def _shade_bwd_pallas(scene, d_in, p, normal, albedo, kind, fuzz, ior,
     lt = _light_table(scene)
 
     cr = cp // LANES
-    grid = (cr // BR,)
+    br = _pick_br(cr)
+    grid = (cr // br,)
     dpl, dlt = pl.pallas_call(
         _make_bwd_kernel(L),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N_DATA + N_RNG, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_DATA + N_RNG, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((br, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lt.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((9, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((9, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((N_DATA, BR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_DATA, br, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
