@@ -245,9 +245,14 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
 
     def wave_bounce(carry, b):
         o, d, t, L, beta, alive, rid = carry
-        # stable alive-first partition over the whole wave; pad lanes
-        # (rid >= n) ride along like any other ray
-        perm = jnp.argsort(~alive, stable=True)
+        # stable alive-first partition over the whole wave (pad lanes —
+        # rid >= n — ride along like any other ray): two cumsums + one
+        # scatter instead of a full [N] sort
+        n_alive = jnp.sum(alive)
+        dest = jnp.where(alive, jnp.cumsum(alive) - 1,
+                         n_alive + jnp.cumsum(~alive) - 1)
+        perm = jnp.zeros_like(rid).at[dest].set(
+            jnp.arange(rid.shape[0], dtype=rid.dtype))
         o, d, t, L, beta, alive, rid = (
             x[perm] for x in (o, d, t, L, beta, alive, rid))
         ub, gb, mu = _wave_bounce_randoms(scene, wkey, chunk_ids,
