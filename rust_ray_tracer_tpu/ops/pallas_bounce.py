@@ -523,6 +523,8 @@ def eligible(scene) -> bool:
 
     if os.environ.get("RRT_NO_MEGAKERNEL", "") == "1":
         return False
+    if os.environ.get("RRT_NO_PALLAS_SHADE", "") == "1":
+        return False   # debugging isolation: keep shade() reachable
     # no noise/image leaves (their albedo needs table lookups the kernel
     # can't do); checker-of-solids is evaluated in-kernel
     return (scene.perlin_vec.shape[0] == 0
