@@ -221,10 +221,12 @@ def _mask_kernel(o_ref, d_ref, tw_ref, clmin_ref, clmax_ref, mask_ref):
     # it (front to back) and prunes once all rays' best_t beat it.
     # Entry clamped up to t_min stays a valid bound (hits are >= t_min).
     ent = jnp.where(hit, jnp.maximum(enter, tmin), jnp.inf)
-    # rows travel in 8-row blocks (Mosaic's minimum sublane tile); the
-    # block index i//8 repeats for 8 consecutive steps, so each step
-    # fills its own row r = i%8 of the persistent block
-    r = pl.program_id(0) % 8
+    # rows travel in 8-row blocks (Mosaic's minimum sublane tile). The
+    # RAY grid dim must vary FASTEST (grid=(kchunks, ci), ray id =
+    # program_id(1)): the output block (i//8, j) is then visited in 8
+    # CONSECUTIVE steps, each filling its own row — a j-fastest order
+    # would revisit a flushed block, which the pipeline does not allow.
+    r = pl.program_id(1) % 8
     mask_ref[pl.ds(r, 1), :] = jnp.min(ent, axis=0, keepdims=True)
 
 
@@ -251,22 +253,22 @@ def tile_cluster_enter_pallas(o, d, cl_min, cl_max, t_min, t_max):
     tw = jnp.stack([t_min, t_max], axis=0)              # [2, C]
     ci = c // BC
     ci_p = -(-ci // 8) * 8
-    ray_spec = pl.BlockSpec((3, BC), lambda i, j: (0, i),
+    ray_spec = pl.BlockSpec((3, BC), lambda j, i: (0, i),
                             memory_space=pltpu.VMEM)
     ent = pl.pallas_call(
         _mask_kernel,
-        grid=(ci, kp // kc),
+        grid=(kp // kc, ci),
         in_specs=[
             ray_spec,
             ray_spec,
-            pl.BlockSpec((2, BC), lambda i, j: (0, i),
+            pl.BlockSpec((2, BC), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kc), lambda i, j: (0, j),
+            pl.BlockSpec((3, kc), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kc), lambda i, j: (0, j),
+            pl.BlockSpec((3, kc), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, kc), lambda i, j: (i // 8, j),
+        out_specs=pl.BlockSpec((8, kc), lambda j, i: (i // 8, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ci_p, kp), jnp.float32),
         interpret=INTERPRET,
