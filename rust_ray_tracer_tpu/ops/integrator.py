@@ -194,7 +194,8 @@ def _wave_bounce_randoms(scene, wkey, chunk_ids, chunk_size: int, b):
 
 def trace_wave_compact(scene, wkey, width: int, height: int,
                        depth: int = MAX_DEPTH, chunk_size: int = 32768,
-                       remat: bool = True, chunk_ids=None):
+                       remat: bool = True, chunk_ids=None,
+                       proc_chunk: int | None = None):
     """One sample-wave with CROSS-CHUNK alive compaction.
 
     Returns the [len(chunk_ids) * chunk_size, 3] radiance rows of chunks
@@ -202,6 +203,12 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
     sequential caller crops the pad tail; the sharded caller passes this
     device's round-robin ids and compaction stays shard-local (zero
     cross-device communication, same as the per-chunk path).
+
+    ``proc_chunk`` (default ``chunk_size``) sets the bounce PROCESSING
+    granularity independently of the RNG chunk: randomness and primaries
+    stay keyed by the original (chunk_size-sized chunk, lane), so the
+    image is invariant to ``proc_chunk`` — a free skip-granularity
+    tuning knob (must divide the wave's padded ray count).
 
     The per-chunk wavefront only skips work when a whole chunk's lanes
     die (the ``lax.cond`` early-out) or a whole tile's die (kernel-level
@@ -228,6 +235,10 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
         chunk_ids = jnp.arange(-(-n // chunk_size))
     n_chunks = chunk_ids.shape[0]
     n_pad = n_chunks * chunk_size
+    pc = proc_chunk or chunk_size
+    if n_pad % pc:
+        raise ValueError(f"proc_chunk {pc} must divide the wave's "
+                         f"padded ray count {n_pad}")
 
     def prim(cid):
         o, d, t, _ = cam_ops.camera_rays_for_chunk(
@@ -264,7 +275,7 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
             return _bounce(scene, (co, cd, ct, cL, cb, ca), None,
                            rand=(cub, cgb, cmu))
 
-        rs = lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:])  # noqa: E731
+        rs = lambda x: x.reshape((n_pad // pc, pc) + x.shape[1:])  # noqa: E731
         outs = lax.map(chunk_bounce,
                        tuple(map(rs, (o, d, t, L, beta, alive) + rand)))
         o, d, t, L, beta, alive = (
@@ -304,7 +315,7 @@ def render_chunk(scene, wkey, chunk_id, chunk_size: int,
 def render_waves(scene, width: int, height: int, key,
                  wave_start, n_waves: int, depth: int = MAX_DEPTH,
                  chunk_size: int = 32768, remat: bool = True, acc0=None,
-                 compact: bool = False):
+                 compact: bool = False, proc_chunk: int | None = None):
     """Sum of ``n_waves`` one-sample-per-pixel radiance images added onto
     ``acc0`` (zeros if None), [H,W,3].
 
@@ -325,7 +336,8 @@ def render_waves(scene, width: int, height: int, key,
         wkey = rngu.wave_key(key, wave_i)
         if compact:
             rows = trace_wave_compact(scene, wkey, width, height, depth,
-                                      chunk_size, remat)[:n]
+                                      chunk_size, remat,
+                                      proc_chunk=proc_chunk)[:n]
             return cam_ops.image_from_positions(rows, width, height)
         L = lax.map(lambda c: render_chunk(scene, wkey, c, chunk_size,
                                            width, height, depth, remat),

@@ -195,3 +195,19 @@ def test_compact_with_shade_update_fused_interpret():
         pim.INTERPRET = False
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_compact_proc_chunk_invariance():
+    """The processing-chunk size is a pure scheduling knob: randomness
+    and primaries stay keyed by the original RNG chunk, so the image is
+    invariant to proc_chunk (fp-reassociation tolerance)."""
+    sd = occupancy_scene()
+    key = jax.random.PRNGKey(6)
+    a = np.asarray(render_waves(sd, 64, 48, key, 0, 1, chunk_size=256,
+                                compact=True))
+    b = np.asarray(render_waves(sd, 64, 48, key, 0, 1, chunk_size=256,
+                                compact=True, proc_chunk=128))
+    c = np.asarray(render_waves(sd, 64, 48, key, 0, 1, chunk_size=256,
+                                compact=True, proc_chunk=768))
+    np.testing.assert_allclose(b, a, atol=5e-6, rtol=1e-4)
+    np.testing.assert_allclose(c, a, atol=5e-6, rtol=1e-4)
