@@ -274,13 +274,11 @@ class ImageTexture:
             return img
         except Exception:
             pass
-        try:  # self-contained PNG/JPEG fallbacks (utils/image.py)
-            from rust_ray_tracer_tpu.utils.image import (decode_jpeg,
-                                                         decode_png)
+        try:  # self-contained PNG/JPEG/BMP/GIF/TIFF fallback (utils/image.py)
+            from rust_ray_tracer_tpu.utils.image import decode_image
             with open(self.path, "rb") as f:
                 raw = f.read()
-            dec = decode_jpeg if raw[:2] == b"\xff\xd8" else decode_png
-            return np.asarray(dec(raw), np.float32) / 255.0
+            return np.asarray(decode_image(raw), np.float32) / 255.0
         except Exception:
             return None
 

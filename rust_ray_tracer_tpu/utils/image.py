@@ -117,12 +117,14 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG decoder (pure numpy) — the PIL-free fallback for
-# ImageTexture (models/scene.py). The reference reads textures with the
-# `image` crate (texture.rs:84-131); this covers the same practical
-# surface for its assets: baseline sequential DCT (SOF0), 8-bit, greyscale
-# or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers.
-# Progressive/arithmetic JPEGs raise ValueError (caller degrades to the
+# JPEG decoder (pure numpy) — the PIL-free fallback for ImageTexture
+# (models/scene.py). The reference reads textures with the `image` crate
+# (texture.rs:84-131); this covers the same practical surface: baseline
+# sequential (SOF0/1) AND progressive (SOF2) Huffman JPEG, 8-bit,
+# greyscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+# markers, spectral selection + successive approximation. Decoding is
+# scan→coefficient-buffer→vectorized IDCT; arithmetic-coded and
+# hierarchical JPEGs raise ValueError (caller degrades to the
 # reference's solid-yellow missing-texture behaviour).
 # ---------------------------------------------------------------------------
 
@@ -139,7 +141,9 @@ _DCT_A = np.array([[np.cos((2 * j + 1) * i * np.pi / 16)
 
 
 class _Bits:
-    """MSB-first bit reader over entropy-coded data (FF00 unstuffed)."""
+    """MSB-first bit reader over entropy-coded data (FF00 unstuffed).
+    Reads past the end yield 0 (truncated final MCU — matches libjpeg's
+    fill-with-zero behaviour for slightly short streams)."""
 
     def __init__(self, data: bytes):
         self.d = data
@@ -147,6 +151,8 @@ class _Bits:
         self.bit = 0
 
     def read(self) -> int:
+        if self.pos >= len(self.d):
+            return 0
         b = self.d[self.pos]
         v = (b >> (7 - self.bit)) & 1
         self.bit += 1
@@ -196,8 +202,123 @@ def _huff_decode(bits: _Bits, table) -> int:
     raise ValueError("bad huffman code")
 
 
+def _jpeg_scan_payload(data: bytes, j: int):
+    """Entropy-coded bytes from ``j`` to the next non-RST marker:
+    FF00 unstuffed, split into segments at RSTn markers. Returns
+    (segments, index of the terminating marker's 0xFF)."""
+    segments = []
+    cur = bytearray()
+    n = len(data)
+    while j < n - 1:
+        b = data[j]
+        if b == 0xFF:
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
+def _decode_block(zz, bits, dc_tbl, ac_tbl, pred, cid, ss, se, ah, al,
+                  state):
+    """Decode one 8x8 block's contribution from the current scan into
+    the zigzag-order coefficient vector ``zz`` (JPEG F.2.2 / G.2;
+    progressive successive-approximation refinement follows the
+    libjpeg jdphuff.c structure)."""
+    if ss == 0:                                   # DC band
+        if ah == 0:
+            s = _huff_decode(bits, dc_tbl)
+            pred[cid] += _extend(bits.receive(s), s)
+            zz[0] = pred[cid] << al
+        else:                                     # DC refinement: one bit
+            if bits.read():
+                zz[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    else:
+        k = ss
+
+    if ah == 0:                                   # AC first pass
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = _huff_decode(bits, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:                       # ZRL: 16 zeros
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1    # EOBn run
+                if r:
+                    state["eobrun"] += bits.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC overflow")
+            zz[k] = _extend(bits.receive(s), s) << al
+            k += 1
+    else:                                         # AC refinement
+        bit = 1 << al
+
+        def correct(kk):
+            # correction bit for an already-nonzero coefficient
+            if bits.read() and not (zz[kk] & bit):
+                zz[kk] += bit if zz[kk] > 0 else -bit
+
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            for kk in range(k, se + 1):
+                if zz[kk]:
+                    correct(kk)
+            return
+        while k <= se:
+            rs = _huff_decode(bits, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:                        # EOBn: finish corrections
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += bits.receive(r)
+                    for kk in range(k, se + 1):
+                        if zz[kk]:
+                            correct(kk)
+                    return
+                # r == 15, s == 0: skip 16 zero-history coefficients
+            else:
+                newval = bit if bits.read() else -bit
+            while k <= se:
+                if zz[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 [H, W, 3]."""
+    """Decode a baseline or progressive Huffman JPEG to uint8 [H, W, 3].
+
+    All scans accumulate into per-component zigzag coefficient buffers
+    (progressive = partial bands/bits per scan; baseline = one full
+    scan), then one vectorized dequantize+IDCT produces the planes.
+    """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt = {}
@@ -205,8 +326,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
+    scans = []   # (sel, order, ss, se, ah, al, segments, rst, dc_snap, ac_snap)
     i = 2
-    scan = None
     while i < len(data):
         if data[i] != 0xFF:
             i += 1
@@ -233,7 +354,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                         dtype=np.uint8).astype(np.int32)
                     j += 64
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):             # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
             nc = seg[5]
@@ -242,9 +363,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline JPEG supported")
+            raise ValueError("unsupported JPEG coding process")
         elif marker == 0xC4:                     # DHT
             j = 0
             while j < len(seg):
@@ -260,112 +381,100 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:                     # SOS
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
-                sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
-                                       seg[2 + 2 * c] & 15)
-            # entropy-coded data runs from here to the next real marker
-            j = i + seg_len
-            chunks = []
-            while j < len(data) - 1:
-                if data[j] == 0xFF and data[j + 1] not in (0x00,):
-                    if 0xD0 <= data[j + 1] <= 0xD7:
-                        chunks.append(b"\xff" + bytes([data[j + 1]]))
-                        j += 2
-                        continue
-                    break
-                if data[j] == 0xFF:
-                    chunks.append(b"\xff")
-                    j += 2
-                else:
-                    chunks.append(bytes([data[j]]))
-                    j += 1
-            scan = (sel, b"".join(chunks))
+                cid = seg[1 + 2 * c]
+                sel[cid] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                order.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            segments, j = _jpeg_scan_payload(data, i + seg_len)
+            # Huffman tables may be redefined between scans: snapshot
+            scans.append((sel, order, ss, se, ah, al, segments,
+                          restart_interval, dict(huff_dc), dict(huff_ac)))
             i = j
             continue
         i += seg_len
-    if comps is None or scan is None:
+    if comps is None or not scans:
         raise ValueError("incomplete JPEG")
 
-    sel, payload = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-
-    planes = []
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
     for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                               np.float32))
+        c["bx"] = mcux * c["h"]                  # padded (interleaved) dims
+        c["by"] = mcuy * c["v"]
+        compw = -(-w * c["h"] // hmax)           # component resolution
+        comph = -(-h * c["v"] // vmax)
+        c["nbx"] = -(-compw // 8)                # actual block dims
+        c["nby"] = -(-comph // 8)                # (non-interleaved scans)
+    coefs = [np.zeros((c["by"], c["bx"], 64), np.int32) for c in comps]
 
-    # split payload on restart markers
-    segments = []
-    if restart_interval:
-        seg_bytes = []
-        j = 0
-        cur = bytearray()
-        while j < len(payload):
-            if (payload[j] == 0xFF and j + 1 < len(payload)
-                    and 0xD0 <= payload[j + 1] <= 0xD7):
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-            else:
-                cur.append(payload[j])
-                j += 1
-        segments.append(bytes(cur))
-    else:
-        segments = [payload.replace(b"\xff\xd0", b"")]
+    for sel, order, ss, se, ah, al, segments, rst, hdc, hac in scans:
+        pred = {cid: 0 for cid in order}
+        state = {"eobrun": 0, "seg": 0, "bits": _Bits(segments[0])}
 
-    pred = [0] * len(comps)
-    bits = _Bits(segments[0])
-    seg_idx = 0
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (restart_interval and mcu_count
-                    and mcu_count % restart_interval == 0):
-                seg_idx += 1
-                bits = _Bits(segments[seg_idx])
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                dc_t, ac_t = sel[c["id"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int32)
-                        s = _huff_decode(bits, huff_dc[dc_t])
-                        diff = _extend(bits.receive(s), s)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(bits, huff_ac[ac_t])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC overflow")
-                            zz[k] = _extend(bits.receive(s), s)
-                            k += 1
-                        blk = np.zeros(64, np.float32)
-                        blk[_ZIGZAG] = zz * qt[c["tq"]]
-                        px = _DCT_A.T @ blk.reshape(8, 8) @ _DCT_A
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px + 128.0
+        def _restart():
+            state["seg"] += 1
+            state["bits"] = _Bits(segments[state["seg"]])
+            state["eobrun"] = 0
+            for cid in pred:
+                pred[cid] = 0
 
-    # upsample to full resolution and convert
+        n_unit = 0
+        if len(order) == 1:
+            # non-interleaved: raster over the component's own blocks
+            cid = order[0]
+            ci = by_id[cid]
+            c = comps[ci]
+            dc_t, ac_t = sel[cid]
+            dct = hdc.get(dc_t)
+            act = hac.get(ac_t)
+            co = coefs[ci]
+            for byy in range(c["nby"]):
+                for bxx in range(c["nbx"]):
+                    if rst and n_unit and n_unit % rst == 0:
+                        _restart()
+                    n_unit += 1
+                    _decode_block(co[byy, bxx], state["bits"], dct, act,
+                                  pred, cid, ss, se, ah, al, state)
+        else:
+            # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if rst and n_unit and n_unit % rst == 0:
+                        _restart()
+                    n_unit += 1
+                    for cid in order:
+                        ci = by_id[cid]
+                        c = comps[ci]
+                        dc_t, ac_t = sel[cid]
+                        co = coefs[ci]
+                        for byo in range(c["v"]):
+                            for bxo in range(c["h"]):
+                                _decode_block(
+                                    co[my * c["v"] + byo,
+                                       mx * c["h"] + bxo],
+                                    state["bits"], hdc.get(dc_t),
+                                    hac.get(ac_t), pred, cid,
+                                    ss, se, ah, al, state)
+
+    # dequantize + vectorized IDCT + assemble planes
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        deq = np.zeros((c["by"], c["bx"], 64), np.float32)
+        deq[..., _ZIGZAG] = coefs[ci] * qt[c["tq"]]
+        blocks = deq.reshape(c["by"], c["bx"], 8, 8)
+        px = np.einsum("ij,yxjk,kl->yxil", _DCT_A.T, blocks,
+                       _DCT_A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(c["by"] * 8, c["bx"] * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+
     if len(full) == 1:
         y = full[0]
         rgb = np.stack([y, y, y], axis=-1)
@@ -376,3 +485,293 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BMP / GIF / TIFF decoders — the rest of the reference's `image`-crate
+# texture surface (texture.rs:84-107 reads any format the crate guesses;
+# the crate ships PNG/JPEG/BMP/GIF/TIFF decoders). Pure numpy, subset
+# chosen to cover what those formats' common writers emit: BMP 8/24/32-bit
+# uncompressed, GIF87a/89a first frame (LZW, interlace, local palettes),
+# TIFF 8-bit grey/palette/RGB(A) in strips with none/PackBits/LZW
+# compression and horizontal-differencing predictor.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 8/24/32-bit BMP to uint8 [H, W, 3]."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hsz,) = struct.unpack("<I", data[14:18])
+    if hsz == 12:                                # BITMAPCOREHEADER
+        w, h = struct.unpack("<hh", data[18:22])
+        (bpp,) = struct.unpack("<H", data[24:26])
+        comp, clr_used, pal_off, pal_stride = 0, 0, 26, 3
+    else:                                        # BITMAPINFOHEADER+
+        w, h = struct.unpack("<ii", data[18:26])
+        (bpp,) = struct.unpack("<H", data[28:30])
+        (comp,) = struct.unpack("<I", data[30:34])
+        (clr_used,) = struct.unpack("<I", data[46:50])
+        pal_off, pal_stride = 14 + hsz, 4
+    if comp not in (0, 3) or (comp == 3 and bpp != 32):
+        raise ValueError(f"unsupported BMP compression {comp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * bpp // 8 + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+    if bpp == 24:
+        img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]    # BGR -> RGB
+    elif bpp == 32:
+        img = rows[:, :w * 4].reshape(h, w, 4)[..., 2::-1]   # BGRA -> RGB
+    elif bpp == 8:
+        npal = clr_used or 256
+        pal = np.frombuffer(data, np.uint8, npal * pal_stride,
+                            pal_off).reshape(npal, pal_stride)
+        img = pal[rows[:, :w]][..., 2::-1]                   # BGR(A) -> RGB
+    else:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _lzw_gif(data: bytes, min_code: int) -> list:
+    """GIF LZW (LSB-first packing, variable 3..12-bit codes)."""
+    clear = 1 << min_code
+    end = clear + 1
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code + 1
+    table = [(i,) for i in range(clear)] + [(), ()]
+    out = []
+    prev = None
+
+    def read_code():
+        nonlocal bitpos
+        v = 0
+        for k in range(width):
+            if bitpos >= total_bits:
+                return end
+            v |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << k
+            bitpos += 1
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            del table[clear + 2:]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("bad LZW code")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to uint8 [H, W, 3]."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                            # trailer
+            break
+        if b == 0x21:                            # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gpal
+        if iflags & 0x80:                        # local color table
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos]:
+            sz = data[pos]
+            chunks.append(data[pos + 1:pos + 1 + sz])
+            pos += 1 + sz
+        pos += 1
+        idx = np.asarray(_lzw_gif(b"".join(chunks), min_code)[:iw * ih],
+                         np.int32).reshape(ih, iw)
+        if iflags & 0x40:                        # interlaced row order
+            order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                     + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+            deint = np.zeros_like(idx)
+            deint[order] = idx
+            idx = deint
+        if pal is None:
+            raise ValueError("GIF frame has no palette")
+        canvas = np.zeros((h, w, 3), np.uint8)
+        canvas[top:top + ih, left:left + iw] = pal[idx]
+        return canvas                            # first frame only
+    raise ValueError("no image data in GIF")
+
+
+def _packbits(d: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(d):
+        n = d[i]
+        i += 1
+        if n < 128:
+            out += d[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([d[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_tiff(data: bytes) -> bytes:
+    """TIFF LZW: MSB-first packing, 9..12-bit codes, EarlyChange=1
+    (code width bumps one code EARLIER than GIF — TIFF6 spec p.61)."""
+    clear, end = 256, 257
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev = None
+
+    def read_code():
+        nonlocal bitpos
+        v = 0
+        for _ in range(width):
+            if bitpos >= total_bits:
+                return end
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad TIFF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grey/palette/RGB(A) strip TIFF (compression
+    none/PackBits/LZW, predictor 1/2, either byte order) to [H, W, 3]."""
+    if data[:4] == b"II*\x00":
+        en = "<"
+    elif data[:4] == b"MM\x00*":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd,) = struct.unpack(en + "I", data[4:8])
+    (n,) = struct.unpack(en + "H", data[ifd:ifd + 2])
+    tags = {}
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(en + "HHI", data[e:e + 8])
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ, 0) * cnt
+        voff = e + 8 if 0 < size <= 4 else struct.unpack(
+            en + "I", data[e + 8:e + 12])[0]
+        if typ == 1:
+            vals = tuple(data[voff:voff + cnt])
+        elif typ == 3:
+            vals = struct.unpack(en + f"{cnt}H", data[voff:voff + 2 * cnt])
+        elif typ == 4:
+            vals = struct.unpack(en + f"{cnt}I", data[voff:voff + 4 * cnt])
+        else:
+            continue
+        tags[tag] = vals
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, (1,))[0]
+    bps = tags.get(258, (8,) * spp)
+    comp = tags.get(259, (1,))[0]
+    photo = tags.get(262, (1,))[0]
+    predictor = tags.get(317, (1,))[0]
+    planar = tags.get(284, (1,))[0]
+    if any(b != 8 for b in bps) or planar != 1:
+        raise ValueError("only 8-bit chunky TIFF supported")
+    raw = bytearray()
+    for o, cnt_ in zip(tags[273], tags[279]):
+        chunk = bytes(data[o:o + cnt_])
+        if comp == 1:
+            raw += chunk
+        elif comp == 32773:
+            raw += _packbits(chunk)
+        elif comp == 5:
+            raw += _lzw_tiff(chunk)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    img = np.frombuffer(bytes(raw), np.uint8,
+                        h * w * spp).reshape(h, w, spp).astype(np.int32)
+    if predictor == 2:                           # horizontal differencing
+        img = np.cumsum(img, axis=1) & 0xFF
+    img = img.astype(np.uint8)
+    if photo == 3:                               # palette (RGB 16-bit/chan)
+        cmap = np.asarray(tags[320], np.int32)
+        npal = cmap.size // 3
+        pal = (cmap.reshape(3, npal).T // 257).astype(np.uint8)
+        return np.ascontiguousarray(pal[img[..., 0]])
+    if spp == 1:
+        g = 255 - img[..., 0] if photo == 0 else img[..., 0]
+        return np.stack([g, g, g], axis=-1)
+    return np.ascontiguousarray(img[..., :3])
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff + decode any supported texture format to uint8 [H, W, 3] —
+    the PIL-free equivalent of the `image` crate's format guessing that
+    the reference relies on (texture.rs:84-107)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
+    raise ValueError("unrecognized image format")

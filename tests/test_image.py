@@ -116,6 +116,8 @@ def test_image_texture_jpeg_fallback(tmp_path, monkeypatch):
     assert abs(float(out[:, 12:, 1].mean()) - 200 / 255) < 0.06
 
 
+@pytest.mark.parametrize("block_pil", [False, True],
+                         ids=["via-PIL", "self-contained"])
 @pytest.mark.parametrize("fmt,kw", [
     ("BMP", {}),
     ("GIF", {}),
@@ -123,11 +125,15 @@ def test_image_texture_jpeg_fallback(tmp_path, monkeypatch):
     ("PNG", {}),
     ("JPEG", {"quality": 95, "progressive": True}),  # progressive scan
 ])
-def test_image_texture_format_breadth(tmp_path, fmt, kw):
+def test_image_texture_format_breadth(tmp_path, monkeypatch, fmt, kw,
+                                      block_pil):
     """The reference's `image` crate reads PNG/JPEG/BMP/GIF/TIFF
-    (texture.rs:84-107); ImageTexture covers the same breadth (PIL
-    primary, self-contained PNG/baseline-JPEG decoders as fallback)."""
+    (texture.rs:84-107); ImageTexture covers the same breadth BOTH via
+    PIL and via the self-contained decoders (utils/image.decode_image)
+    when PIL import is blocked."""
     pytest.importorskip("PIL")
+    import builtins
+
     from PIL import Image
 
     from rust_ray_tracer_tpu.models.scene import ImageTexture
@@ -138,7 +144,92 @@ def test_image_texture_format_breadth(tmp_path, fmt, kw):
     p = tmp_path / f"tex.{fmt.lower()}"
     Image.fromarray(img).save(p, format=fmt, **kw)
 
+    if block_pil:
+        real_import = builtins.__import__
+
+        def no_pil(name, *a, **k):
+            if name.startswith("PIL"):
+                raise ImportError("blocked")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_pil)
+
     out = ImageTexture(path=str(p)).load()
     assert out is not None and out.shape == (16, 16, 3)
     assert abs(float(out[:, :4, 0].mean()) - 200 / 255) < 0.06
     assert abs(float(out[:, 12:, 1].mean()) - 200 / 255) < 0.06
+
+
+def _grad(h=41, w=57):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 255 / w, yy * 255 / h,
+                     (xx + yy) * 255 / (w + h)], -1).astype(np.uint8)
+
+
+def test_decode_jpeg_progressive():
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation, all subsamplings, greyscale, restart markers — vs
+    PIL's libjpeg (texture.rs:84-107 `image`-crate surface)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = _grad()
+    for subs in (0, 1, 2):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=90,
+                                  subsampling=subs, progressive=True)
+        ours = im.decode_jpeg(buf.getvalue())
+        ref = np.asarray(Image.open(buf).convert("RGB"))
+        assert ours.shape == ref.shape
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 8
+
+    buf = io.BytesIO()
+    Image.fromarray(img[:, :, 0]).save(buf, format="JPEG", quality=85,
+                                       progressive=True)
+    ours = im.decode_jpeg(buf.getvalue())
+    ref = np.asarray(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(ours, ref)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90,
+                              progressive=True, restart_marker_blocks=2)
+    ours = im.decode_jpeg(buf.getvalue())
+    ref = np.asarray(Image.open(buf).convert("RGB"))
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 8
+
+
+def test_decode_bmp_gif_tiff_exact():
+    """Lossless-format decoders are bitwise vs PIL: BMP 24-bit, GIF
+    (palette), TIFF raw/PackBits/LZW + greyscale."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (41, 57, 3), dtype=np.uint8)
+
+    buf = io.BytesIO()
+    Image.fromarray(noise).save(buf, format="BMP")
+    np.testing.assert_array_equal(im.decode_image(buf.getvalue()), noise)
+
+    pal_img = (noise // 32) * 32   # <=256 colors -> exact GIF roundtrip
+    buf = io.BytesIO()
+    Image.fromarray(pal_img).save(buf, format="GIF")
+    ref = np.asarray(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(im.decode_image(buf.getvalue()), ref)
+
+    for comp in (None, "packbits", "tiff_lzw"):
+        buf = io.BytesIO()
+        kw = {"compression": comp} if comp else {}
+        Image.fromarray(noise).save(buf, format="TIFF", **kw)
+        np.testing.assert_array_equal(im.decode_image(buf.getvalue()),
+                                      noise, err_msg=f"tiff {comp}")
+
+    buf = io.BytesIO()
+    Image.fromarray(noise[..., 0]).save(buf, format="TIFF")
+    np.testing.assert_array_equal(
+        im.decode_image(buf.getvalue()),
+        np.stack([noise[..., 0]] * 3, -1))
