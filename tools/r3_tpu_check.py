@@ -68,6 +68,20 @@ def timed(fn, *args, iters=3, inner=4):
     return ts[len(ts) // 2]
 
 
+def timed_async(fn, *args, iters=3, inner=4):
+    """Same sweep but block only once at the end: JAX pipelines the
+    dispatches, so this separates tunnel/dispatch RTT (paid per wave in
+    ``timed``) from actual device time."""
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        outs = [fn(*args, i * inner + w) for w in range(inner)]
+        jax.block_until_ready(outs)
+        ts.append((time.perf_counter() - t0) / inner)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
 def render_fn(static_scene=None, compact=False):
     if static_scene is None:
         def f(sd, key, wave):
@@ -111,8 +125,27 @@ def p2(sd, key):
     step_m = jax.jit(jax.value_and_grad(loss_mega))
     jax.block_until_ready(fwd_m(diff, key, 0))
     log("suzanne fwd mega ms", round(timed(fwd_m, diff, key) * 1e3, 1))
+    log("suzanne fwd mega async ms",
+        round(timed_async(fwd_m, diff, key) * 1e3, 1))
     jax.block_until_ready(step_m(diff, key, 0))
     log("suzanne step mega ms", round(timed(step_m, diff, key) * 1e3, 1))
+    log("suzanne step mega async ms",
+        round(timed_async(step_m, diff, key) * 1e3, 1))
+
+    # one-dispatch 4-wave sweep: render_waves' own lax.scan over spp —
+    # amortizes dispatch RTT entirely (what render_image/CLI users get)
+    def loss_mega4(d, k, s):
+        img = render_waves(combine(d, static), W, H, k, s * 4, 4, depth=D,
+                           chunk_size=9216)
+        return jnp.mean(img)
+    fwd_m4 = jax.jit(loss_mega4)
+    step_m4 = jax.jit(jax.value_and_grad(loss_mega4))
+    jax.block_until_ready(fwd_m4(diff, key, 0))
+    log("suzanne fwd mega swept ms/wave",
+        round(timed(fwd_m4, diff, key, inner=1) * 1e3 / 4, 1))
+    jax.block_until_ready(step_m4(diff, key, 0))
+    log("suzanne step mega swept ms/wave",
+        round(timed(step_m4, diff, key, inner=1) * 1e3 / 4, 1))
 
     os.environ["RRT_NO_MEGAKERNEL"] = "1"
 
