@@ -176,6 +176,22 @@ def p2(sd, key):
 @phase("3-random")
 def p3(key):
     sd = compile_scene(builders.get_scene("random", W / H))
+
+    # compact-vs-plain image parity ON HARDWARE (CPU gate allows the
+    # 5e-6 fusion-reassociation drift; same sampled paths either way)
+    def small(s, k, w, compact):
+        return render_waves(s, 128, 72, k, w, 1, depth=D,
+                            chunk_size=9216, compact=compact)
+    a = np.asarray(jax.block_until_ready(
+        jax.jit(lambda s, k: small(s, k, 0, False))(sd, key)))
+    b = np.asarray(jax.block_until_ready(
+        jax.jit(lambda s, k: small(s, k, 0, True))(sd, key)))
+    rel = np.abs(b - a) / (np.abs(a) + 1e-6)
+    log("random compact parity: maxabs", float(np.abs(b - a).max()),
+        "maxrel", float(rel.max()), "flips", int((a != b).sum()),
+        "/", a.size)
+    assert np.isfinite(b).all()
+
     diff, static = partition(sd)
 
     def loss(d, k, w, compact):
