@@ -26,6 +26,7 @@ None of that maps to a vector machine. Here:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Optional, Sequence, Union
 
 import numpy as np
@@ -728,8 +729,12 @@ def compile_scene(scene: Scene, seed: int = 0,
     b.add(scene.world, _affine(), False)
 
     if tri_pad is None:
+        # RRT_MAX_CLUSTERS: perf-sweep override for the cluster-count cap
+        # (more clusters = narrower sweeps but a longer grid; tuned on
+        # hardware — tools/r3_tpu_check.py). Semantics are unaffected.
+        max_k = int(os.environ.get("RRT_MAX_CLUSTERS", MAX_CLUSTERS))
         tri_pad = CLUSTER
-        while len(b.tris) > MAX_CLUSTERS * tri_pad:
+        while len(b.tris) > max_k * tri_pad:
             tri_pad *= 2
 
     # --- lights: only bare Sphere / XZRect have sampling (see LIGHT_* docs)
@@ -790,8 +795,17 @@ def compile_scene(scene: Scene, seed: int = 0,
         # mask pre-pass rejects them explicitly (min <= max check in
         # ops/pallas_intersect._tile_cluster_mask)
         # second hierarchy level: sub-cluster boxes at width
-        # max(128, tri_pad // 16) when clusters are wide enough to split
+        # max(128, tri_pad // 16) when clusters are wide enough to split.
+        # RRT_SUB_W: perf-sweep override (clamped to a lane-aligned
+        # divisor of the cluster width with <= 31 sub-spans — the
+        # kernel's int32 bitmask budget, pallas_intersect.fused_search)
         subw = max(CLUSTER, tri_pad // 16)
+        if os.environ.get("RRT_SUB_W"):
+            want = int(os.environ["RRT_SUB_W"])
+            subw = CLUSTER          # powers of two always divide tri_pad
+            while tri_pad // subw > 31 or subw < want:
+                subw *= 2
+            subw = min(subw, tri_pad)
         if tri_pad > subw:
             ks = tn // subw
             sub_min = lo.reshape(ks, subw, 3).min(1)

@@ -218,7 +218,8 @@ def p3(key):
 
 @phase("4-bigmesh")
 def p4(key):
-    path = "/root/reference/assets/MetalRoughSpheres.gltf"
+    path = ("/root/reference/assets/MetalRoughSpheres/"
+            "MetalRoughSpheres.gltf")
     if not os.path.exists(path):
         log("bigmesh asset missing, skipped")
         return
