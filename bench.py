@@ -59,6 +59,7 @@ def _device_watchdog(timeout_s: float = 900.0):
     if not done.wait(timeout_s):
         print(json.dumps({
             "metric": "suzanne_fwd_bwd_mrays_per_s_per_chip",
+            "value": None, "unit": "Mrays/s", "vs_baseline": None,
             "error": f"device init timed out after {timeout_s:.0f}s "
                      "(TPU tunnel unreachable)"}), flush=True)
         os._exit(3)
@@ -88,23 +89,22 @@ def main():
     key = jax.random.PRNGKey(0)
     chunk = 9216
 
-    def loss_fn(diff, key, wave):
-        # ONE wave per jitted step: the spp loop runs on the host — a
-        # dispatch (~25ms) per wave is noise next to the ~300ms step, and
-        # the compiled program stays 4x smaller (compile on the tunneled
-        # backend costs minutes per extra graph copy)
+    def loss_fn(diff, key, sweep):
+        # ONE dispatch per SPP sweep: render_waves scans all 4 waves
+        # in-graph (lax.scan), so the timing measures DEVICE time.
+        # Methodology (r3_tpu_check, 2026-08-18 on the real chip):
+        # per-dispatch tunnel RTT is ~32 ms — 35% of a per-wave-dispatch
+        # "step" at suzanne size — and the one-dispatch swept form
+        # matches the async-pipelined per-wave timing to 1% (30.9 vs
+        # 30.6 ms fwd), so this is the honest device number AND what a
+        # training loop (or the CLI) actually runs.
         img = render_waves(combine(diff, static), WIDTH, HEIGHT, key,
-                           wave, 1, depth=DEPTH, chunk_size=chunk)
+                           sweep * SPP, SPP, depth=DEPTH,
+                           chunk_size=chunk)
         return jnp.mean(img)
 
     step = jax.jit(jax.value_and_grad(loss_fn))
-
-    def fwd_fn(diff, key, wave):
-        img = render_waves(combine(diff, static), WIDTH, HEIGHT, key,
-                           wave, 1, depth=DEPTH, chunk_size=chunk)
-        return jnp.mean(img)
-
-    fwd = jax.jit(fwd_fn)
+    fwd = jax.jit(loss_fn)
 
     # warmup / compile
     loss, grads = step(diff, key, 0)
@@ -112,14 +112,13 @@ def main():
     jax.block_until_ready(fwd(diff, key, 0))
 
     def timed(fn, iters=5):
-        """Median of ``iters`` timed SPP-wave sweeps (the metric has
-        ~5% run-to-run variance; iters=2 made round-over-round deltas
-        untrustworthy — VERDICT r2 weak #5)."""
+        """Median of ``iters`` timed one-dispatch SPP sweeps (the metric
+        has ~5% run-to-run variance; iters=2 made round-over-round
+        deltas untrustworthy — VERDICT r2 weak #5)."""
         ts = []
         for i in range(iters):
             t0 = time.perf_counter()
-            for w in range(SPP):
-                jax.block_until_ready(fn(diff, key, i * SPP + w))
+            jax.block_until_ready(fn(diff, key, i))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
@@ -136,6 +135,8 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / REF_CPU_MRAYS_MEASURED, 3),
         "fwd_only_mrays_per_s": round(mrays_fwd, 2),
+        "timing": "one-dispatch 4-wave sweep (device time; per-wave "
+                  "dispatch would add ~32ms tunnel RTT/wave)",
     }))
 
 

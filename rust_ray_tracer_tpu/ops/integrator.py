@@ -163,7 +163,8 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     return carry[3]
 
 
-def _wave_bounce_randoms(scene, wkey, chunk_ids, chunk_size: int, b):
+def _wave_bounce_randoms(scene, wkey, chunk_ids, chunk_size: int, b,
+                         dtype=jnp.float32):
     """Bounce-``b`` random budget for every lane of chunks ``chunk_ids``,
     chunk-major.
 
@@ -177,14 +178,13 @@ def _wave_bounce_randoms(scene, wkey, chunk_ids, chunk_size: int, b):
         ck = jax.random.fold_in(wkey, cid)
         bk = rngu.bounce_key(rngu.stream(ck, rngu.CHUNK), b)
         ub = jax.random.uniform(rngu.stream(bk, rngu.SCATTER),
-                                (chunk_size, 9), dtype=jnp.float32)
+                                (chunk_size, 9), dtype=dtype)
         gb = jax.random.normal(rngu.stream(bk, rngu.FUZZ),
-                               (chunk_size, 6), dtype=jnp.float32)
+                               (chunk_size, 6), dtype=dtype)
         mu = (jax.random.uniform(rngu.stream(bk, rngu.MEDIUM),
                                  (chunk_size, scene.n_media),
-                                 dtype=jnp.float32)
-              if scene.n_media else jnp.zeros((chunk_size, 0),
-                                              jnp.float32))
+                                 dtype=dtype)
+              if scene.n_media else jnp.zeros((chunk_size, 0), dtype))
         return ub, gb, mu
 
     ub, gb, mu = jax.vmap(one)(chunk_ids)
@@ -267,7 +267,7 @@ def trace_wave_compact(scene, wkey, width: int, height: int,
         o, d, t, L, beta, alive, rid = (
             x[perm] for x in (o, d, t, L, beta, alive, rid))
         ub, gb, mu = _wave_bounce_randoms(scene, wkey, chunk_ids,
-                                          chunk_size, b)
+                                          chunk_size, b, dtype=o.dtype)
         rand = (ub[rid], gb[rid], mu[rid])
 
         def chunk_bounce(args):

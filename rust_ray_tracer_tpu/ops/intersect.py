@@ -246,11 +246,11 @@ def _quad_candidates(scene, o, d, t_min, t_max):
     return jnp.take_along_axis(tt, idx[:, None], axis=1)[:, 0], idx
 
 
-def _med_t(scene, o, d, med_u, t_min):
+def _med_t(scene, o, d, med_u, t_min, t_max=None):
     """Per-(ray, medium) stochastic scatter distance — [C, M] t (INF=none).
 
     Mirrors constant_medium.rs:46-80: boundary hit over (-inf, inf) gives
-    the entry/exit pair; clamp to [t_min, inf); exponential free flight.
+    the entry/exit pair; clamp to [t_min, t_max]; exponential free flight.
     Boundaries are spheres (quadratic roots) or convex polytopes
     (half-space slab interval) per ``scene.med_kind``. The reference
     also clamps the exit by the running closest-so-far (its list scan
@@ -291,7 +291,10 @@ def _med_t(scene, o, d, med_u, t_min):
         root2 = jnp.where(is_poly, t2_p, root2)
         ok = jnp.where(is_poly, ok_p, ok)
     t1 = jnp.maximum(root1, t_min[:, None])
-    t2 = root2
+    # the t_max clamp (constant_medium.rs:55) only matters for collapsed
+    # dead-lane windows (t_max <= t_min must reject EVERY kind — the
+    # integrator's wavefront invariant); live search lanes pass inf here
+    t2 = root2 if t_max is None else jnp.minimum(root2, t_max[:, None])
     ok = ok & (t1 < t2)
     t1 = jnp.maximum(t1, 0.0)
     ray_len = la.length(d)[:, None]
@@ -531,12 +534,13 @@ def intersect_select(scene, o, d, time, med_u=None, t_min=None,
             consider(KIND_QUAD, t_qud, i_qud.astype(jnp.int32))
     if scene.n_media:
         assert med_u is not None, "scene has media: med_u uniforms required"
-        t_med = _med_t(scene_s, os, ds, lax.stop_gradient(med_u), t_min)
+        t_med = _med_t(scene_s, os, ds, lax.stop_gradient(med_u), t_min,
+                       t_max)
         i_med = jnp.argmin(t_med, axis=1)
         t_med_b = jnp.take_along_axis(t_med, i_med[:, None], axis=1)[:, 0]
         consider(KIND_MED, t_med_b, i_med.astype(jnp.int32))
         # differentiable medium t for phase 2
-        t_med_diff = _med_t(scene, o, d, med_u, t_min)
+        t_med_diff = _med_t(scene, o, d, med_u, t_min, t_max)
         t_med_best = jnp.take_along_axis(
             t_med_diff, i_med[:, None], axis=1)[:, 0]
 

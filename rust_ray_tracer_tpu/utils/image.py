@@ -516,6 +516,16 @@ def decode_bmp(data: bytes) -> np.ndarray:
         pal_off, pal_stride = 14 + hsz, 4
     if comp not in (0, 3) or (comp == 3 and bpp != 32):
         raise ValueError(f"unsupported BMP compression {comp}")
+    if comp == 3:
+        # BI_BITFIELDS: masks live right after a 40-byte INFOHEADER, or
+        # at the same absolute offset (54) inside a V4/V5 header. We only
+        # handle the standard BGRA layout — raise otherwise so the caller
+        # degrades to the solid-yellow fallback instead of silently
+        # swapping channels.
+        rm, gm, bm = struct.unpack("<III", data[54:66])
+        if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"unsupported BMP bitfield masks {rm:#x}/{gm:#x}/{bm:#x}")
     top_down = h < 0
     h = abs(h)
     stride = (w * bpp // 8 + 3) & ~3
