@@ -794,12 +794,18 @@ def compile_scene(scene: Scene, seed: int = 0,
         # empty clusters (all-pad) keep inverted boxes (min > max); the
         # mask pre-pass rejects them explicitly (min <= max check in
         # ops/pallas_intersect._tile_cluster_mask)
-        # second hierarchy level: sub-cluster boxes at width
-        # max(128, tri_pad // 16) when clusters are wide enough to split.
-        # RRT_SUB_W: perf-sweep override (clamped to a lane-aligned
-        # divisor of the cluster width with <= 31 sub-spans — the
-        # kernel's int32 bitmask budget, pallas_intersect.fused_search)
-        subw = max(CLUSTER, tri_pad // 16)
+        # second hierarchy level: sub-cluster boxes gating sub-matmuls
+        # via a per-(tile, cluster) bitmask. DISABLED by default since
+        # round-4 hardware measurement: the bitmask REGRESSES the 1M-tri
+        # sweep (fwd 1437.0 ms/wave sub vs 1351.8 flat; with compaction
+        # 1308.7 vs 1266.4 — tools/r4_compact_check.py, v5e 2026-08-19)
+        # because the gated sub-matmuls save compute but the DMA unit is
+        # still the whole cluster, and the sweep is streaming-bound.
+        # RRT_SUB_W re-enables it for experiments (clamped to a
+        # lane-aligned divisor of the cluster width with <= 31 sub-spans
+        # — the kernel's int32 bitmask budget,
+        # pallas_intersect.fused_search).
+        subw = tri_pad
         if os.environ.get("RRT_SUB_W"):
             want = int(os.environ["RRT_SUB_W"])
             subw = CLUSTER          # powers of two always divide tri_pad

@@ -131,6 +131,120 @@ def _bounce(scene, carry, bkey, rand=None):
     return lax.cond(jnp.any(carry[5]), run, lambda c: c, carry)
 
 
+def auto_compact(scene, threshold: float = 0.3) -> bool:
+    """Host-side heuristic: should a render of ``scene`` default to the
+    cross-chunk alive compaction (:func:`trace_wave_compact`)?
+
+    Compaction wins when most lanes STAY alive bounce over bounce
+    (occupancy-bound scenes) and loses when most die at bounce 0 —
+    measured on v5e (2026-08-19, tools/r4_compact_check +
+    tools/bench_scenes): random 1.38-1.5x faster, MetalRoughSpheres-1M
+    1.07x faster, suzanne 1.8x SLOWER (fwd 27.8 -> 50.7 ms/wave; 93% of
+    its primaries miss everything and die immediately, ray.rs:126).
+
+    Occupancy is a runtime quantity; its dominant driver is the primary
+    hit fraction (a hit scatters and usually survives, a miss adds the
+    background and dies). That fraction is estimated with a tiny
+    host-side numpy probe: a 32x18 grid of pixel-center primaries
+    (camera.rs:56-69 mapping) any-hit tested against spheres, quads,
+    medium boundaries, and triangles — exact Möller–Trumbore up to 64k
+    tris, conservative per-cluster AABB slabs beyond (dense huge meshes
+    like MetalRoughSpheres fill their cluster boxes, so the
+    overestimate is small exactly where it is used).
+
+    Must be called OUTSIDE jit (reads concrete values); callers resolve
+    it once and pass a plain bool down (utils/cli.py ``--compact auto``).
+    """
+    import numpy as np
+
+    cam = scene.camera
+    c2w = np.asarray(cam.c2w, np.float64)          # [3,4] (R|t)
+    scale = float(cam.scale)
+    aspect = float(cam.aspect)
+    eye = c2w[:, 3]
+    gw, gh = 32, 18
+    fx = (2.0 * (np.arange(gw) + 0.5) / gw - 1.0) * scale * aspect
+    fy = (2.0 * (np.arange(gh) + 0.5) / gh - 1.0) * scale
+    px, py = np.meshgrid(fx, fy)
+    pc = np.stack([px.ravel(), py.ravel(), -np.ones(gw * gh)], 1)
+    d = pc @ c2w[:, :3].T                          # unnormalized dirs
+    o = np.broadcast_to(eye, d.shape)
+    hit = np.zeros(d.shape[0], bool)
+    tmin = 1e-4
+
+    def sphere_hit(c, r):
+        oc = o - c
+        a = (d * d).sum(1)
+        b = (oc * d).sum(1)
+        cc = (oc * oc).sum(1) - r * r
+        disc = b * b - a * cc
+        ok = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t1 = (-b - sq) / a
+        t2 = (-b + sq) / a
+        return ok & ((t1 >= tmin) | (t2 >= tmin))
+
+    if scene.n_spheres:
+        c0 = np.asarray(scene.sph_c0, np.float64)
+        r = np.asarray(scene.sph_r, np.float64)
+        for i in np.nonzero(r > 0)[0]:
+            hit |= sphere_hit(c0[i], r[i])
+    if scene.n_media:
+        mc = np.asarray(scene.med_c, np.float64)
+        mr = np.asarray(scene.med_r, np.float64)
+        kinds = np.asarray(scene.med_kind)
+        from rust_ray_tracer_tpu.models.scene import MED_SPHERE
+        for i in np.nonzero((kinds == MED_SPHERE) & (mr > 0))[0]:
+            hit |= sphere_hit(mc[i], mr[i])
+    if scene.n_quads:
+        q = np.asarray(scene.quad_q, np.float64)
+        u = np.asarray(scene.quad_u, np.float64)
+        v = np.asarray(scene.quad_v, np.float64)
+        n = np.cross(u, v)                         # [Q,3]
+        denom = d @ n.T                            # [R,Q]
+        dsafe = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        t = ((q[None] - o[:, None]) * n[None]).sum(2) / dsafe
+        w = o[:, None] + t[..., None] * d[:, None] - q[None]
+        n2 = np.maximum((n * n).sum(1), 1e-12)
+        alpha = (np.cross(w, v[None]) * n[None]).sum(2) / n2
+        beta = (np.cross(u[None], w) * n[None]).sum(2) / n2
+        ok = ((np.abs(denom) > 1e-12) & (t >= tmin)
+              & (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1))
+        hit |= ok.any(1)
+    if scene.n_tris:
+        v0 = np.asarray(scene.tri_v0, np.float64)
+        if scene.n_tris <= 65536:
+            e1 = np.asarray(scene.tri_e1, np.float64)
+            e2 = np.asarray(scene.tri_e2, np.float64)
+            real = (np.abs(e1).sum(1) + np.abs(e2).sum(1)) > 0
+            v0, e1, e2 = v0[real], e1[real], e2[real]
+            for s in range(0, v0.shape[0], 4096):
+                vv, ee1, ee2 = v0[s:s + 4096], e1[s:s + 4096], e2[s:s + 4096]
+                p = np.cross(d[:, None], ee2[None])         # [R,B,3]
+                det = (ee1[None] * p).sum(2)
+                inv = 1.0 / np.where(np.abs(det) < 1e-12, 1e-12, det)
+                tv = o[:, None] - vv[None]
+                uu = (tv * p).sum(2) * inv
+                qv = np.cross(tv, ee1[None])
+                vv_ = (d[:, None] * qv).sum(2) * inv
+                tt = (ee2[None] * qv).sum(2) * inv
+                ok = ((np.abs(det) > 1e-12) & (uu >= 0) & (uu <= 1)
+                      & (vv_ >= 0) & (uu + vv_ <= 1) & (tt >= tmin))
+                hit |= ok.any(1)
+        else:
+            lo = np.asarray(scene.tri_cluster_min, np.float64)
+            hi = np.asarray(scene.tri_cluster_max, np.float64)
+            ok = (lo <= hi).all(1)
+            lo, hi = lo[ok], hi[ok]
+            inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+            t0 = (lo[None] - o[:, None]) * inv[:, None]     # [R,K,3]
+            t1 = (hi[None] - o[:, None]) * inv[:, None]
+            tn = np.minimum(t0, t1).max(2)
+            tf = np.maximum(t0, t1).min(2)
+            hit |= ((tf >= np.maximum(tn, tmin)) & (tf >= tmin)).any(1)
+    return float(hit.mean()) >= threshold
+
+
 def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
                remat: bool = True):
     """Trace a chunk of rays to completion. Returns radiance [C,3].

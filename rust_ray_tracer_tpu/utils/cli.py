@@ -48,10 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: all available)")
     p.add_argument("--chunk-size", type=int, default=32768,
                    help="rays per wavefront chunk")
-    p.add_argument("--compact", action="store_true",
-                   help="bounce-major cross-chunk alive compaction "
-                        "(wins on occupancy-bound scenes; shard-local "
-                        "under a device mesh)")
+    p.add_argument("--compact", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="bounce-major cross-chunk alive compaction: "
+                        "'auto' (default) enables it when the scene "
+                        "covers most of the camera frame (measured to "
+                        "win only on such occupancy-bound scenes — "
+                        "ops/integrator.auto_compact); shard-local "
+                        "under a device mesh")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file for resumable rendering")
     p.add_argument("--ckpt-every", type=int, default=8,
@@ -108,6 +112,14 @@ def main(argv=None) -> int:
     n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_devices=n_dev) if n_dev > 1 else None
 
+    if args.compact == "auto":
+        from rust_ray_tracer_tpu.ops.integrator import auto_compact
+        compact = auto_compact(scene)
+        print(f"  compact=auto -> {'on' if compact else 'off'}",
+              flush=True)
+    else:
+        compact = args.compact == "on"
+
     ckpt = args.checkpoint or (args.output + ".ckpt")
     total_rays = width * height * spp * args.depth
     t0 = time.time()
@@ -123,7 +135,7 @@ def main(argv=None) -> int:
         scene, width, height, spp, args.seed, ckpt,
         ckpt_every=args.ckpt_every, depth=args.depth,
         chunk_size=args.chunk_size, mesh=mesh, progress=progress,
-        compact=args.compact)
+        compact=compact)
 
     if jax.process_index() == 0:
         u8 = np.asarray(tonemap_mean(jax.numpy.asarray(img)))

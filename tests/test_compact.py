@@ -211,3 +211,36 @@ def test_compact_proc_chunk_invariance():
                                 compact=True, proc_chunk=768))
     np.testing.assert_allclose(b, a, atol=5e-6, rtol=1e-4)
     np.testing.assert_allclose(c, a, atol=5e-6, rtol=1e-4)
+
+
+class TestAutoCompact:
+    """integrator.auto_compact picks the measured winner per scene class
+    (v5e 2026-08-19, tools/r4_compact_check + tools/bench_scenes):
+    compaction wins on frame-filling occupancy-bound scenes (random
+    1.38-1.5x, MetalRoughSpheres-1M 1.07x) and loses on small-object-
+    in-a-void scenes (suzanne 1.8x SLOWER)."""
+
+    def test_frame_filling_scene_on(self):
+        from rust_ray_tracer_tpu.ops.integrator import auto_compact
+        assert auto_compact(occupancy_scene()) is True
+
+    def test_builders_match_measured_winners(self):
+        from rust_ray_tracer_tpu.models import builders
+        from rust_ray_tracer_tpu.ops.integrator import auto_compact
+        for name in ("random", "cornell_box", "final_scene"):
+            sd = compile_scene(builders.get_scene(name, 16 / 9))
+            assert auto_compact(sd) is True, name
+
+    def test_small_mesh_in_void_off(self):
+        from rust_ray_tracer_tpu.models.gltf import load_gltf_scene
+        from rust_ray_tracer_tpu.ops.integrator import auto_compact
+        for asset in ("suzanne.gltf", "default.gltf"):
+            sd = compile_scene(load_gltf_scene(
+                f"/root/reference/assets/{asset}", 16 / 9))
+            assert auto_compact(sd) is False, asset
+
+    def test_empty_scene_off(self):
+        from rust_ray_tracer_tpu.ops.integrator import auto_compact
+        cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+        sd = compile_scene(S.Scene(cam, [], [], (0, 0, 0)))
+        assert auto_compact(sd) is False

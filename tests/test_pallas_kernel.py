@@ -1,6 +1,8 @@
 """Pallas intersection kernel vs the XLA reference path (interpret mode on
 CPU; the same comparison runs on real TPU hardware in verification)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -355,7 +357,13 @@ def test_subcluster_bitmask_exact():
         world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[0],
                                 double_sided=bool(i % 2)))
     cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
-    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)), tri_pad=512)
+    # sub-spans are off by default since the round-4 hardware regression
+    # (models/scene.py); the kernel path stays and is opted into here
+    os.environ["RRT_SUB_W"] = "128"
+    try:
+        sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)), tri_pad=512)
+    finally:
+        del os.environ["RRT_SUB_W"]
     assert sd.tri_sub_min.shape[0] == sd.tri_v0.shape[0] // 128
     assert sd.tri_cluster_min.shape[0] == sd.tri_v0.shape[0] // 512
 

@@ -84,7 +84,7 @@ def bench_scene(name: str, iters: int = 6, compact: bool = False):
     img = fwd(diff, key, 0)
     jax.block_until_ready(img)
     fwd_compile = time.perf_counter() - t0
-    cost = _cost(fwd, diff, key)
+    cost = _cost(fwd, diff, key, 0)
     acc = np.asarray(img, np.float64)
     t0 = time.perf_counter()
     for wv in range(1, iters + 1):

@@ -53,12 +53,17 @@ def timed(fn, *args, iters=3, inner=2):
 
 
 VARIANTS = [
-    ("default", {}),
-    ("subw256", {"RRT_SUB_W": "256"}),
-    ("subw512", {"RRT_SUB_W": "512"}),
-    ("k1024", {"RRT_MAX_CLUSTERS": "1024"}),
-    ("k2048", {"RRT_MAX_CLUSTERS": "2048"}),
-    ("k2048_nosub", {"RRT_MAX_CLUSTERS": "2048", "RRT_NO_SUB": "1"}),
+    # r4: the sub-cluster bitmask REGRESSED on hardware (r3/r4_compact
+    # checks: 1437 sub vs 1352 flat fwd ms/wave) and is now off by
+    # default (models/scene.py), so the live question is pure cluster
+    # granularity — narrower survivor DMA blocks (tighter culling, less
+    # HBM streaming) vs a longer (tile x K) grid (more skipped-step
+    # overhead past cnt[i]). Default cap 512 -> width 2048 at 1.04M.
+    ("k512_w2048", {}),
+    ("k1024_w1024", {"RRT_MAX_CLUSTERS": "1024"}),
+    ("k2048_w512", {"RRT_MAX_CLUSTERS": "2048"}),
+    ("k4096_w256", {"RRT_MAX_CLUSTERS": "4096"}),
+    ("k8192_w128", {"RRT_MAX_CLUSTERS": "8192"}),
 ]
 
 
