@@ -67,6 +67,24 @@ def pixel_id_for_position(pos, width: int, height: int):
     return jnp.asarray(perm)[pos]
 
 
+@functools.lru_cache(maxsize=16)
+def _pixel_order_chunked(width: int, height: int, chunk_size: int):
+    """[n_chunks, chunk_size] pixel ids along the Morton curve, the pad
+    tail clamped to the last pixel (same values as
+    ``pixel_id_for_position(min(pos, n-1))``). Indexing one row by a
+    traced chunk id is a dynamic-slice, which on TPU costs ~5us vs
+    ~65us for the equivalent 147k-row gather (round-4 suzanne trace:
+    fusion.146, camera.py:67 — one gather per chunk per wave)."""
+    n = width * height
+    n_chunks = -(-n // chunk_size)
+    if MORTON_CHUNKS:
+        perm, _ = _pixel_order(width, height)
+    else:
+        perm = np.arange(n, dtype=np.int32)
+    pad = np.full(n_chunks * chunk_size - n, perm[-1], np.int32)
+    return np.concatenate([perm, pad]).reshape(n_chunks, chunk_size)
+
+
 def image_from_positions(flat, width: int, height: int):
     """[n,3] position-ordered radiance -> [H,W,3] image."""
     if MORTON_CHUNKS:
@@ -173,9 +191,8 @@ def camera_rays_for_chunk(cam: CameraData, wkey: jax.Array, chunk_id,
     """
     from rust_ray_tracer_tpu.utils import rng as rngu
 
-    n = width * height
-    pos = chunk_id * chunk_size + jnp.arange(chunk_size)
-    pix = pixel_id_for_position(jnp.minimum(pos, n - 1), width, height)
+    pix = jnp.asarray(_pixel_order_chunked(width, height,
+                                           chunk_size))[chunk_id]
     yy = (pix // width).astype(jnp.float32)
     xx = (pix % width).astype(jnp.float32)
     ckey = jax.random.fold_in(wkey, chunk_id)

@@ -412,26 +412,38 @@ def hit_attrs_core(o, d, time, t_min, t_max, kind, flip,
 # Entry point
 # ---------------------------------------------------------------------------
 
-def _search_order(o, t_min, t_max, cl_min, cl_max):
+def _search_order(o, d, t_min, t_max, cl_min, cl_max):
     """[C] permutation for the phase-1 search: dead lanes (collapsed
-    t-window) last, alive lanes Morton-ordered by origin within the
-    scene's cluster bounds — scattered bounce rays from the same surface
-    region land in the same kernel tile, shrinking each tile's
-    surviving-cluster union (see the call site)."""
+    t-window) last, alive lanes grouped by direction OCTANT then
+    Morton-ordered by origin within the scene's cluster bounds —
+    scattered bounce rays from the same surface region pointing the
+    same way land in the same kernel tile, shrinking each tile's
+    surviving-cluster union (see the call site).
+
+    The octant prefix exists for the post-bounce sweeps: round-4
+    bigmesh trace showed compacted bounce-1..3 search calls costing
+    3-10x a primary call (65-257 vs 20-40 ms) because diffuse bounce
+    rays share origins but point everywhere, making each origin-tile's
+    frustum a half-space. Direction-octant-major tiles have cone-like
+    frusta again. Primaries share one octant per tile anyway, so the
+    prefix is a no-op for them."""
     lo = jnp.min(cl_min, axis=0)
     hi = jnp.max(cl_max, axis=0)
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-30), 0.0, 1.0)
-    qi = (q * 1023.0).astype(jnp.uint32)
+    qi = (q * 511.0).astype(jnp.uint32)
 
-    def spread(v):                     # 10 bits -> every 3rd bit
-        v = v & 0x3FF
+    def spread(v):                     # 9 bits -> every 3rd bit
+        v = v & 0x1FF
         v = (v | (v << 16)) & 0x030000FF
         v = (v | (v << 8)) & 0x0300F00F
         v = (v | (v << 4)) & 0x030C30C3
         v = (v | (v << 2)) & 0x09249249
         return v
 
-    code = (spread(qi[:, 0]) | (spread(qi[:, 1]) << 1)
+    oct_ = ((d[:, 0] < 0).astype(jnp.uint32)
+            | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+            | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+    code = ((oct_ << 27) | spread(qi[:, 0]) | (spread(qi[:, 1]) << 1)
             | (spread(qi[:, 2]) << 2)).astype(jnp.int32)
     key = jnp.where(t_max > t_min, code, jnp.int32(0x7FFFFFFF))
     return jnp.argsort(key)
@@ -455,6 +467,50 @@ class Select(NamedTuple):
     t_med: jnp.ndarray      # [C] differentiable medium scatter t
     t_min: jnp.ndarray      # [C]
     t_max: jnp.ndarray      # [C]
+    attr: jnp.ndarray       # [C, A] winner material attrs (MATTR_*
+                            # columns), differentiable via tex/mat params
+
+
+# column layout of the per-material attribute rows (_mat_attr_table):
+# integer-valued columns (kind / checker flag) travel as exact small
+# floats so the whole row rides ONE f32 gather.
+# above this primitive count, phase 2 stops building the fused
+# [P, 11+A] row table per bounce (the build outweighs the gather
+# savings — see kind_rows in intersect_select); tests lower it to pin
+# both branches to identical outputs
+FUSED_ROW_MAX = 65536
+
+MATTR_MKIND = 0
+MATTR_FUZZ = 1
+MATTR_IOR = 2
+MATTR_ALBEDO = slice(3, 6)     # solid leaf / checker base tex_color
+MATTR_EVEN = slice(6, 9)       # checker leaves (only when the scene
+MATTR_ODD = slice(9, 12)       # has checker textures; A grows 6 -> 13)
+MATTR_ISCHK = 12
+
+
+def _mat_attr_table(scene):
+    """[n_mats, A] per-material attribute rows (differentiable through
+    tex_color / fuzz / ior).
+
+    Round-4 suzanne hardware trace: the per-field winner gathers
+    (mat_kind[mat] s32 49us, tri_flip[i] pred 74us — packed-bit layout!
+    — tex/fuzz/ior chains ~40us more) cost ~300us of a ~540us live
+    chunk-bounce, and their transposes were 4 separate [C]->table
+    scatter-adds in the backward. Joining the material+texture chain at
+    TABLE level (n_mats rows, ~us) lets phase 2 fetch everything about
+    a winner in ONE wide f32 row gather per kind."""
+    f32 = scene.mat_fuzz.dtype
+    tid = scene.mat_tex
+    cols = [scene.mat_kind.astype(f32)[:, None],
+            scene.mat_fuzz[:, None], scene.mat_ior[:, None],
+            scene.tex_color[tid]]
+    if scene.tex_even.shape[0] > 0:
+        from rust_ray_tracer_tpu.models.scene import TEX_CHECKER
+        cols += [scene.tex_color[scene.tex_even[tid]],
+                 scene.tex_color[scene.tex_odd[tid]],
+                 (scene.tex_kind[tid] == TEX_CHECKER).astype(f32)[:, None]]
+    return jnp.concatenate(cols, axis=1)
 
 
 def intersect_select(scene, o, d, time, med_u=None, t_min=None,
@@ -508,7 +564,7 @@ def intersect_select(scene, o, d, time, med_u=None, t_min=None,
         # [C] keys per bounce, noise there, real money at suzanne size).
         sort_rays = scene.n_tris >= pk.PACKED_MIN_TRIS
         if sort_rays:
-            perm = _search_order(os, t_min, t_max,
+            perm = _search_order(os, ds, t_min, t_max,
                                  scene_s.tri_cluster_min,
                                  scene_s.tri_cluster_max)
             inv = jnp.argsort(perm)
@@ -558,47 +614,82 @@ def intersect_select(scene, o, d, time, med_u=None, t_min=None,
     hit_mask = checkpoint_name(hit_mask, "isect_sel")
 
     # ---- phase 2: differentiable recompute of the winner ----
-    # gather each kind's parameters as ONE packed [C,9] row (gathers and
-    # their scatter-add transposes live here, in XLA); the attr math runs
-    # fused on TPU (ops/pallas_hit.py) or via hit_attrs_core on CPU
-    zero9 = jnp.zeros((c, 9), o.dtype)
-    zrow = jnp.zeros((c,), jnp.int32)
-    mat = jnp.zeros((c,), jnp.int32)
-    flip = jnp.zeros((c,), bool)
+    # ONE wide f32 row gather per primitive kind: pack(9) | flip |
+    # mat-id | material attrs (see _mat_attr_table — the why and the
+    # measured gather costs live there). flip / mat-id / mkind are
+    # exact small integers in f32. The attr math runs fused on TPU
+    # (ops/pallas_hit.py) or via hit_attrs_core on CPU.
+    f32 = o.dtype
+    zero9 = jnp.zeros((c, 9), f32)
+    matt = _mat_attr_table(scene)
+    ext = 2 + matt.shape[1]                  # flip | mat id | attrs
+    # miss/none lanes default to material 0's attrs (what the old
+    # per-field gathers produced via the clamped index 0) — keeps the
+    # branchless material eval free of 0-ior/0-albedo poison values
+    row = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros((2,), f32), matt[0]])[None], (c, ext))
+
+    def kind_rows(pack_cols, flip_col, mat_col, idx):
+        """(pack [C,9], ext [C, 2+A]) for one primitive kind.
+
+        Small tables: ONE wide row gather from a fused
+        [P, 9+2+A] table (the build is table-sized, ~us). Huge tables
+        (1M-tri meshes): building a [P, 11+A] table per bounce costs
+        more than it saves (measured: bigmesh step 1393.6 -> 1722.0
+        ms/wave when fused unconditionally) — gather the 9-wide pack
+        and a [P,2] flip/mat row from the raw tables, then the attrs
+        from the tiny [n_mats, A] table instead."""
+        if pack_cols.shape[0] > FUSED_ROW_MAX:
+            fm = jnp.stack([flip_col.astype(f32),
+                            mat_col.astype(f32)], axis=1)[idx]
+            ext = jnp.concatenate(
+                [fm, matt[fm[:, 1].astype(jnp.int32)]], axis=1)
+            return pack_cols[idx], ext
+        tab = jnp.concatenate(
+            [pack_cols, flip_col.astype(f32)[:, None],
+             mat_col.astype(f32)[:, None], matt[mat_col]], axis=1)
+        rows = tab[idx]
+        return rows[:, :9], rows[:, 9:]
 
     if scene.n_tris:
         i_t = jnp.where(best_kind == KIND_TRI, best_idx, 0)
-        tri_pack = jnp.concatenate(
-            [scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)[i_t]
-        sel = best_kind == KIND_TRI
-        mat = jnp.where(sel, scene.tri_mat[i_t], mat)
-        flip = jnp.where(sel, scene.tri_flip[i_t], flip)
+        tri_pack, tri_ext = kind_rows(
+            jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2],
+                            axis=1), scene.tri_flip, scene.tri_mat, i_t)
+        row = jnp.where((best_kind == KIND_TRI)[:, None], tri_ext, row)
     else:
         tri_pack = zero9
     if scene.n_spheres:
         i_s = jnp.where(best_kind == KIND_SPH, best_idx, 0)
-        sph_pack = jnp.concatenate(
-            [scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
-             scene.sph_t1[:, None], scene.sph_r[:, None]], axis=1)[i_s]
-        sel = best_kind == KIND_SPH
-        mat = jnp.where(sel, scene.sph_mat[i_s], mat)
-        flip = jnp.where(sel, scene.sph_flip[i_s], flip)
+        sph_pack, sph_ext = kind_rows(
+            jnp.concatenate([scene.sph_c0, scene.sph_c1,
+                             scene.sph_t0[:, None], scene.sph_t1[:, None],
+                             scene.sph_r[:, None]], axis=1),
+            scene.sph_flip, scene.sph_mat, i_s)
+        row = jnp.where((best_kind == KIND_SPH)[:, None], sph_ext, row)
     else:
         sph_pack = zero9.at[:, 7].set(1.0)   # t1=1: no 0/0 in frac
     if scene.n_quads:
         i_q = jnp.where(best_kind == KIND_QUAD, best_idx, 0)
-        quad_pack = jnp.concatenate(
-            [scene.quad_q, scene.quad_u, scene.quad_v], axis=1)[i_q]
-        sel = best_kind == KIND_QUAD
-        mat = jnp.where(sel, scene.quad_mat[i_q], mat)
-        flip = jnp.where(sel, scene.quad_flip[i_q], flip)
+        quad_pack, quad_ext = kind_rows(
+            jnp.concatenate([scene.quad_q, scene.quad_u, scene.quad_v],
+                            axis=1), scene.quad_flip, scene.quad_mat, i_q)
+        row = jnp.where((best_kind == KIND_QUAD)[:, None], quad_ext, row)
     else:
         quad_pack = zero9
     if scene.n_media:
         i_m = jnp.where(best_kind == KIND_MED, best_idx, 0)
-        mat = jnp.where(best_kind == KIND_MED, scene.med_mat[i_m], mat)
+        med_row = jnp.concatenate(
+            [jnp.zeros((scene.n_media, 1), f32),
+             scene.med_mat.astype(f32)[:, None],
+             matt[scene.med_mat]], axis=1)[i_m]
+        row = jnp.where((best_kind == KIND_MED)[:, None], med_row, row)
     if t_med_best is None:
         t_med_best = jnp.zeros((c,), o.dtype)
+
+    flip = row[:, 0] > 0.5
+    mat = row[:, 1].astype(jnp.int32)
+    attr = row[:, 2:]
 
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
 
@@ -611,11 +702,12 @@ def intersect_select(scene, o, d, time, med_u=None, t_min=None,
     sph_pack = checkpoint_name(sph_pack, "isect_packs")
     quad_pack = checkpoint_name(quad_pack, "isect_packs")
     t_med_best = checkpoint_name(t_med_best, "isect_packs")
+    attr = checkpoint_name(attr, "isect_packs")
 
     return Select(hit=hit_mask, kind=best_kind, idx=best_idx, mat=mat,
                   flip=flip, tri_pack=tri_pack, sph_pack=sph_pack,
                   quad_pack=quad_pack, t_med=t_med_best,
-                  t_min=t_min, t_max=t_max)
+                  t_min=t_min, t_max=t_max, attr=attr)
 
 
 def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:

@@ -544,20 +544,22 @@ def bounce_fused(scene, bkey, o, d, time, L, beta, alive, sel,
     c = o.shape[0]
     f32 = o.dtype
 
-    # same gathers as ops/shade.shade (solid textures: albedo is a pure
-    # table gather — differentiable, scatter-add transpose stays in XLA)
-    mkind = scene.mat_kind[sel.mat]
-    tid = scene.mat_tex[sel.mat]
-    albedo = checkpoint_name(scene.tex_color[tid], "albedo")
-    mat_pack = jnp.stack([scene.mat_fuzz, scene.mat_ior], axis=1)[sel.mat]
+    # the winner's material/texture attributes arrive pre-joined in
+    # sel.attr (ONE wide row gather per kind in intersect_select —
+    # replaces the old per-field mat_kind/mat_tex/tex_color/fuzz/ior
+    # gather chain, ~130us of XLA gathers per live chunk-bounce on the
+    # round-4 suzanne trace; same values, same streams)
+    from rust_ray_tracer_tpu.ops.intersect import (
+        MATTR_ALBEDO, MATTR_EVEN, MATTR_FUZZ, MATTR_IOR, MATTR_ISCHK,
+        MATTR_MKIND, MATTR_ODD)
+    mkind = sel.attr[:, MATTR_MKIND].astype(jnp.int32)
+    albedo = checkpoint_name(sel.attr[:, MATTR_ALBEDO], "albedo")
+    mat_pack = sel.attr[:, MATTR_FUZZ:MATTR_IOR + 1]
     has_checker = scene.tex_even.shape[0] > 0
     if has_checker:
-        from rust_ray_tracer_tpu.models.scene import TEX_CHECKER
-        even = checkpoint_name(
-            scene.tex_color[scene.tex_even[tid]], "albedo")
-        odd = checkpoint_name(
-            scene.tex_color[scene.tex_odd[tid]], "albedo")
-        is_chk = scene.tex_kind[tid] == TEX_CHECKER
+        even = checkpoint_name(sel.attr[:, MATTR_EVEN], "albedo")
+        odd = checkpoint_name(sel.attr[:, MATTR_ODD], "albedo")
+        is_chk = sel.attr[:, MATTR_ISCHK] > 0.5
 
     # the bounce's random budget — identical streams to shade() so the
     # megakernel and split paths follow the same sampled trajectories

@@ -318,3 +318,45 @@ def test_differentiable_t_wrt_vertex():
     fd = (float(t_of_z(jnp.float32(-3.0 + eps)))
           - float(t_of_z(jnp.float32(-3.0 - eps)))) / (2 * eps)
     np.testing.assert_allclose(float(g), fd, rtol=1e-2, atol=1e-3)
+
+
+def test_kind_rows_big_branch_matches_fused():
+    """intersect_select's two gather layouts — the fused [P, 11+A] row
+    table (small meshes) and the split pack/flip-mat/mat-attr gathers
+    (>FUSED_ROW_MAX, e.g. 1M-tri MetalRoughSpheres) — must produce an
+    identical Select. Forced by lowering the threshold to 0."""
+    import rust_ray_tracer_tpu.ops.intersect as it
+
+    rng = np.random.default_rng(7)
+    mats = [S.Lambertian.from_rgb(0.6, 0.3, 0.2),
+            S.Metal((0.9, 0.8, 0.7), 0.2),
+            S.Dielectric(1.5)]
+    world = []
+    for i in range(60):
+        v0 = rng.uniform(-4, 4, 3).astype(np.float32)
+        v0[2] -= 6.0
+        e = rng.uniform(-0.5, 0.5, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[i % 3],
+                                double_sided=bool(i % 2)))
+    world.append(S.Sphere((0, 0, -5), 1.0, mats[1]))
+    world.append(S.XZRect(-2, 2, -7, -3, -2.0, mats[0]))
+    from rust_ray_tracer_tpu.ops.camera import make_camera
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, world, [], (0.2, 0.3, 0.4)))
+
+    C = 300
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.zeros(C, jnp.float32)
+
+    sel_fused = it.intersect_select(sd, o, d, tt)
+    old = it.FUSED_ROW_MAX
+    it.FUSED_ROW_MAX = 0
+    try:
+        sel_split = it.intersect_select(sd, o, d, tt)
+    finally:
+        it.FUSED_ROW_MAX = old
+    for name in sel_fused._fields:
+        a = np.asarray(getattr(sel_fused, name))
+        b = np.asarray(getattr(sel_split, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
