@@ -369,7 +369,11 @@ def hit_attrs_core(o, d, time, t_min, t_max, kind, flip,
     ok1 = ok & (root1 >= t_min) & (root1 <= t_max)
     t_sph = jnp.where(ok1, root1, root2)
     p_sph = o + t_sph[..., None] * d
-    n_sph = (p_sph - cen) / jnp.maximum(sph_pack[:, 8], 1e-20)[..., None]
+    # radius floor 1e-12 (not 1e-20): reverse-mode computes -1/r_floor^2,
+    # and 1e-40 overflows f32 to inf -> inf * 0 = NaN for lanes whose
+    # unified pack presents a zero "radius" (e.g. a quad winner whose
+    # v.z == 0). Bitwise no-op for any real sphere radius.
+    n_sph = (p_sph - cen) / jnp.maximum(sph_pack[:, 8], 1e-12)[..., None]
     # UV quirk: near root uses the unit normal, far root world p
     # (sphere.rs:66-69 vs 80-82)
     uv_src = jnp.where(ok1[..., None], n_sph, p_sph)
@@ -461,9 +465,11 @@ class Select(NamedTuple):
     idx: jnp.ndarray        # [C] int32 (detached)
     mat: jnp.ndarray        # [C] int32 material id of the winner
     flip: jnp.ndarray       # [C] bool
-    tri_pack: jnp.ndarray   # [C,9] differentiable winner params
-    sph_pack: jnp.ndarray   # [C,9]
-    quad_pack: jnp.ndarray  # [C,9]
+    pack: jnp.ndarray       # [C,9] the WINNER's differentiable params —
+                            # unified across kinds (tri: v0,e1,e2 /
+                            # sphere: c0,c1,t0,t1,r / quad: q,u,v); the
+                            # consumer interprets by ``kind``
+                            # (pallas_hit.N_IN)
     t_med: jnp.ndarray      # [C] differentiable medium scatter t
     t_min: jnp.ndarray      # [C]
     t_max: jnp.ndarray      # [C]
@@ -614,99 +620,116 @@ def intersect_select(scene, o, d, time, med_u=None, t_min=None,
     hit_mask = checkpoint_name(hit_mask, "isect_sel")
 
     # ---- phase 2: differentiable recompute of the winner ----
-    # ONE wide f32 row gather per primitive kind: pack(9) | flip |
-    # mat-id | material attrs (see _mat_attr_table — the why and the
-    # measured gather costs live there). flip / mat-id / mkind are
-    # exact small integers in f32. The attr math runs fused on TPU
-    # (ops/pallas_hit.py) or via hit_attrs_core on CPU.
+    # ONE unified wide f32 row gather for every primitive kind: the
+    # per-kind tables (pack(9) | flip | mat-id | material attrs — see
+    # _mat_attr_table for the why and the measured gather costs) are
+    # concatenated into one [sum P_k, 11+A] table and the winner row is
+    # fetched by offset[kind] + idx. The 9-float pack is interpreted
+    # per kind downstream (ops/pallas_hit.N_IN — every sub-computation
+    # is eps-guarded, so non-winner interpretations are finite garbage
+    # the kind-select discards in both directions). flip / mat-id /
+    # mkind are exact small integers in f32.
     f32 = o.dtype
-    zero9 = jnp.zeros((c, 9), f32)
     matt = _mat_attr_table(scene)
-    ext = 2 + matt.shape[1]                  # flip | mat id | attrs
+    ext_w = 2 + matt.shape[1]                # flip | mat id | attrs
     # miss/none lanes default to material 0's attrs (what the old
     # per-field gathers produced via the clamped index 0) — keeps the
     # branchless material eval free of 0-ior/0-albedo poison values
-    row = jnp.broadcast_to(
-        jnp.concatenate([jnp.zeros((2,), f32), matt[0]])[None], (c, ext))
+    ext = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros((2,), f32), matt[0]])[None],
+        (c, ext_w))
 
-    def kind_rows(pack_cols, flip_col, mat_col, idx):
-        """(pack [C,9], ext [C, 2+A]) for one primitive kind.
-
-        Small tables: ONE wide row gather from a fused
-        [P, 9+2+A] table (the build is table-sized, ~us). Huge tables
-        (1M-tri meshes): building a [P, 11+A] table per bounce costs
-        more than it saves (measured: bigmesh step 1393.6 -> 1722.0
-        ms/wave when fused unconditionally) — gather the 9-wide pack
-        and a [P,2] flip/mat row from the raw tables, then the attrs
-        from the tiny [n_mats, A] table instead."""
-        if pack_cols.shape[0] > FUSED_ROW_MAX:
-            fm = jnp.stack([flip_col.astype(f32),
-                            mat_col.astype(f32)], axis=1)[idx]
-            ext = jnp.concatenate(
-                [fm, matt[fm[:, 1].astype(jnp.int32)]], axis=1)
-            return pack_cols[idx], ext
-        tab = jnp.concatenate(
+    def kind_table(pack_cols, flip_col, mat_col):
+        return jnp.concatenate(
             [pack_cols, flip_col.astype(f32)[:, None],
              mat_col.astype(f32)[:, None], matt[mat_col]], axis=1)
-        rows = tab[idx]
-        return rows[:, :9], rows[:, 9:]
 
+    kind_cols = []
     if scene.n_tris:
-        i_t = jnp.where(best_kind == KIND_TRI, best_idx, 0)
-        tri_pack, tri_ext = kind_rows(
-            jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2],
-                            axis=1), scene.tri_flip, scene.tri_mat, i_t)
-        row = jnp.where((best_kind == KIND_TRI)[:, None], tri_ext, row)
-    else:
-        tri_pack = zero9
+        kind_cols.append((KIND_TRI, jnp.concatenate(
+            [scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1),
+            scene.tri_flip, scene.tri_mat))
     if scene.n_spheres:
-        i_s = jnp.where(best_kind == KIND_SPH, best_idx, 0)
-        sph_pack, sph_ext = kind_rows(
-            jnp.concatenate([scene.sph_c0, scene.sph_c1,
-                             scene.sph_t0[:, None], scene.sph_t1[:, None],
-                             scene.sph_r[:, None]], axis=1),
-            scene.sph_flip, scene.sph_mat, i_s)
-        row = jnp.where((best_kind == KIND_SPH)[:, None], sph_ext, row)
-    else:
-        sph_pack = zero9.at[:, 7].set(1.0)   # t1=1: no 0/0 in frac
+        kind_cols.append((KIND_SPH, jnp.concatenate(
+            [scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
+             scene.sph_t1[:, None], scene.sph_r[:, None]], axis=1),
+            scene.sph_flip, scene.sph_mat))
     if scene.n_quads:
-        i_q = jnp.where(best_kind == KIND_QUAD, best_idx, 0)
-        quad_pack, quad_ext = kind_rows(
-            jnp.concatenate([scene.quad_q, scene.quad_u, scene.quad_v],
-                            axis=1), scene.quad_flip, scene.quad_mat, i_q)
-        row = jnp.where((best_kind == KIND_QUAD)[:, None], quad_ext, row)
+        kind_cols.append((KIND_QUAD, jnp.concatenate(
+            [scene.quad_q, scene.quad_u, scene.quad_v], axis=1),
+            scene.quad_flip, scene.quad_mat))
+
+    # miss/none/medium lanes default to the FIRST kind's row 0 (what the
+    # unified gather's clamped index 0 yields) — finite, and both
+    # branches below agree bitwise
+    if kind_cols:
+        pack = jnp.broadcast_to(
+            jnp.asarray(kind_cols[0][1][0], f32)[None], (c, 9))
     else:
-        quad_pack = zero9
+        pack = jnp.zeros((c, 9), f32)
+
+    total_rows = sum(kc[1].shape[0] for kc in kind_cols)
+    if kind_cols and total_rows <= FUSED_ROW_MAX:
+        # one table, one gather, one backward scatter-add
+        uni = jnp.concatenate(
+            [kind_table(pc, fc, mc) for _, pc, fc, mc in kind_cols],
+            axis=0)
+        idx_u = jnp.zeros((c,), jnp.int32)
+        off = 0
+        for kd, pc, _, _ in kind_cols:
+            idx_u = jnp.where(best_kind == kd, best_idx + off, idx_u)
+            off += pc.shape[0]
+        rows = uni[idx_u]
+        pack = rows[:, :9]
+        prim = jnp.zeros((c,), bool)
+        for kd, _, _, _ in kind_cols:
+            prim = prim | (best_kind == kd)
+        ext = jnp.where(prim[:, None], rows[:, 9:], ext)
+    else:
+        # huge tables (1M-tri meshes): building a [P, 11+A] table per
+        # bounce costs more than it saves (measured: bigmesh step
+        # 1393.6 -> 1722.0 ms/wave when fused unconditionally) —
+        # per-kind pack + [P,2] flip/mat gathers from the raw tables,
+        # attrs from the tiny [n_mats, A] table
+        for kd, pc, fc, mc in kind_cols:
+            sel_k = best_kind == kd
+            idx = jnp.where(sel_k, best_idx, 0)
+            if pc.shape[0] > FUSED_ROW_MAX:
+                fm = jnp.stack([fc.astype(f32), mc.astype(f32)],
+                               axis=1)[idx]
+                ext_k = jnp.concatenate(
+                    [fm, matt[fm[:, 1].astype(jnp.int32)]], axis=1)
+                pack_k = pc[idx]
+            else:
+                rows_k = kind_table(pc, fc, mc)[idx]
+                pack_k, ext_k = rows_k[:, :9], rows_k[:, 9:]
+            pack = jnp.where(sel_k[:, None], pack_k, pack)
+            ext = jnp.where(sel_k[:, None], ext_k, ext)
     if scene.n_media:
         i_m = jnp.where(best_kind == KIND_MED, best_idx, 0)
         med_row = jnp.concatenate(
             [jnp.zeros((scene.n_media, 1), f32),
              scene.med_mat.astype(f32)[:, None],
              matt[scene.med_mat]], axis=1)[i_m]
-        row = jnp.where((best_kind == KIND_MED)[:, None], med_row, row)
+        ext = jnp.where((best_kind == KIND_MED)[:, None], med_row, ext)
     if t_med_best is None:
         t_med_best = jnp.zeros((c,), o.dtype)
 
-    flip = row[:, 0] > 0.5
-    mat = row[:, 1].astype(jnp.int32)
-    attr = row[:, 2:]
-
-    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+    flip = ext[:, 0] > 0.5
+    mat = ext[:, 1].astype(jnp.int32)
+    attr = ext[:, 2:]
 
     # name the packed gathers as remat residuals. NOTE: "isect_packs" is
     # NOT in the integrator's default save policy (SAVE_NAMES) — the
     # residual ablation rejected it (materializing the packs lost to
     # recomputing the gathers). The tags stay so the policy can be
     # swept per workload via tools/ablate_residuals.py.
-    tri_pack = checkpoint_name(tri_pack, "isect_packs")
-    sph_pack = checkpoint_name(sph_pack, "isect_packs")
-    quad_pack = checkpoint_name(quad_pack, "isect_packs")
+    pack = checkpoint_name(pack, "isect_packs")
     t_med_best = checkpoint_name(t_med_best, "isect_packs")
     attr = checkpoint_name(attr, "isect_packs")
 
     return Select(hit=hit_mask, kind=best_kind, idx=best_idx, mat=mat,
-                  flip=flip, tri_pack=tri_pack, sph_pack=sph_pack,
-                  quad_pack=quad_pack, t_med=t_med_best,
+                  flip=flip, pack=pack, t_med=t_med_best,
                   t_min=t_min, t_max=t_max, attr=attr)
 
 
@@ -728,7 +751,7 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
 
     sel = intersect_select(scene, o, d, time, med_u, t_min, t_max)
     best_kind, flip = sel.kind, sel.flip
-    tri_pack, sph_pack, quad_pack = sel.tri_pack, sel.sph_pack, sel.quad_pack
+    pack = sel.pack
     t_med_best, t_min, t_max = sel.t_med, sel.t_min, sel.t_max
 
     from rust_ray_tracer_tpu.ops import pallas_intersect as pk
@@ -736,12 +759,14 @@ def intersect(scene, o, d, time, med_u=None, t_min=None, t_max=None) -> Hit:
     if pk.on_tpu() and not _no_pallas():
         from rust_ray_tracer_tpu.ops.pallas_hit import hit_attrs_fused
         t, p, normal, uu, vv = hit_attrs_fused(
-            o, d, time, t_min, t_max, best_kind, flip,
-            tri_pack, sph_pack, quad_pack, t_med_best)
+            o, d, time, t_min, t_max, best_kind, flip, pack, t_med_best)
     else:
+        # the unified pack feeds all three kind views; the eps-guarded
+        # math keeps non-winner interpretations finite and the final
+        # kind-select (zero cotangent in reverse) discards them
         t, p, normal, uu, vv = hit_attrs_core(
             o, d, time, t_min, t_max, best_kind, flip,
-            tri_pack, sph_pack, quad_pack, t_med_best)
+            pack, pack, pack, t_med_best)
     t = checkpoint_name(t, "hit_attrs")
     p = checkpoint_name(p, "hit_attrs")
     normal = checkpoint_name(normal, "hit_attrs")

@@ -46,16 +46,19 @@ from rust_ray_tracer_tpu.ops.pallas_shade import (
 from rust_ray_tracer_tpu.utils import rng as rngu
 
 # input plane indices (rows of the [N_IN_B, BR, 128] stack)
-#   0..36  : pallas_hit layout (o3 d3 time tmin tmax tri9 sph9 quad9 tmed)
-#   37..39 : albedo (solid leaf / checker base)
-#   40, 41 : fuzz, ior
-#   42..44 : L (radiance accum)    45..47 : beta (throughput)
-#   48..56 : ub (9 uniforms)       57..62 : gb (6 normals)
-#   63     : alive (0/1 float)
-#   64..69 : checker even / odd leaf colors (only when the scene has
+#   0..18  : pallas_hit layout (o3 d3 time tmin tmax pack9 tmed — the
+#            winner's pack is unified across primitive kinds, see
+#            pallas_hit.N_IN; round 4 collapsed the three 9-plane
+#            sections into one)
+#   19..21 : albedo (solid leaf / checker base)
+#   22, 23 : fuzz, ior
+#   24..26 : L (radiance accum)    27..29 : beta (throughput)
+#   30..38 : ub (9 uniforms)       39..44 : gb (6 normals)
+#   45     : alive (0/1 float)
+#   46..51 : checker even / odd leaf colors (only when the scene has
 #            checker textures — N_IN_B grows by 6; the sin-product
 #            select runs in-kernel on the freshly computed hit p)
-N_IN_B = 64
+N_IN_B = 46
 N_CHK = 6
 N_OUT_B = 13   # o'(3) d'(3) L'(3) beta'(3) alive'
 
@@ -102,7 +105,7 @@ def _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
     px, py, pz = hit_out[1], hit_out[2], hit_out[3]
     nx, ny, nz = hit_out[4], hit_out[5], hit_out[6]
 
-    ax, ay, az = P[37], P[38], P[39]
+    ax, ay, az = P[19], P[20], P[21]
     if has_checker:
         # checker (texture.rs:50-57): sin-product sign selects between
         # the two solid leaves, at the in-kernel hit point. The select
@@ -111,24 +114,24 @@ def _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
                  * jnp.sin(10.0 * pz))
         is_chk = (flags & 2) > 0
         odd = sines < 0.0
-        ax = jnp.where(is_chk, jnp.where(odd, P[67], P[64]), ax)
-        ay = jnp.where(is_chk, jnp.where(odd, P[68], P[65]), ay)
-        az = jnp.where(is_chk, jnp.where(odd, P[69], P[66]), az)
+        ax = jnp.where(is_chk, jnp.where(odd, P[49], P[46]), ax)
+        ay = jnp.where(is_chk, jnp.where(odd, P[50], P[47]), ay)
+        az = jnp.where(is_chk, jnp.where(odd, P[51], P[48]), az)
 
     data = (P[3], P[4], P[5],       # d
             px, py, pz, nx, ny, nz,
             ax, ay, az,             # albedo
-            P[40], P[41])           # fuzz, ior
-    rng = tuple(P[48 + i] for i in range(15))
+            P[22], P[23])           # fuzz, ior
+    rng = tuple(P[30 + i] for i in range(15))
     (emx, emy, emz, wtx, wty, wtz,
      sdx, sdy, sdz, alive_f) = _plane_core(data, rng, mkind,
                                            lt[:n_lights], n_lights)
 
     ox, oy, oz = P[0], P[1], P[2]
     dx, dy, dz = P[3], P[4], P[5]
-    Lx, Ly, Lz = P[42], P[43], P[44]
-    bx, by, bz = P[45], P[46], P[47]
-    alive_in = P[63] > 0.5
+    Lx, Ly, Lz = P[24], P[25], P[26]
+    bx, by, bz = P[27], P[28], P[29]
+    alive_in = P[45] > 0.5
     bgx, bgy, bgz = lt[n_lights][0], lt[n_lights][1], lt[n_lights][2]
 
     is_hit = pkind != KIND_NONE
@@ -581,9 +584,7 @@ def bounce_fused(scene, bkey, o, d, time, L, beta, alive, sel,
 
     feats = ([o[:, i] for i in range(3)] + [d[:, i] for i in range(3)]
              + [time, sel.t_min, sel.t_max]
-             + [sel.tri_pack[:, i] for i in range(9)]
-             + [sel.sph_pack[:, i] for i in range(9)]
-             + [sel.quad_pack[:, i] for i in range(9)]
+             + [sel.pack[:, i] for i in range(9)]
              + [sel.t_med]
              + [albedo[:, i] for i in range(3)]
              + [mat_pack[:, 0], mat_pack[:, 1]]

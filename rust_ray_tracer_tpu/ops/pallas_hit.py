@@ -34,7 +34,15 @@ from rust_ray_tracer_tpu.ops.pallas_shade import (
     LANES, _dot, _normalize, _pick_br, _safe_sqrt)
 
 EPS = 1e-12
-N_IN = 37    # o(3) d(3) time tmin tmax tri(9) sph(9) quad(9) tmed
+# The winner's 9-float parameter pack is UNIFIED across primitive kinds
+# (round 4): rows 9..17 are read as (v0,e1,e2) by the triangle math, as
+# (c0,c1,t0,t1,r) by the sphere math and as (q,u,v) by the quad math —
+# every sub-computation is _safe_div/_safe_sqrt-guarded, so the two
+# non-winner interpretations produce finite garbage that the final
+# kind-select (and its zero cotangent in reverse mode) discards. This
+# replaces three 9-plane sections (27 rows) and their three XLA
+# gathers/scatter-adds with one of each.
+N_IN = 19    # o(3) d(3) time tmin tmax pack(9) tmed
 N_OUT = 12   # t p(3) n(3) u v uvsrc(3)
 
 
@@ -63,16 +71,17 @@ def _hit_plane_core(P, kind, flip):
     ox, oy, oz = f(0), f(1), f(2)
     dx, dy, dz = f(3), f(4), f(5)
     time, tmin, tmax = f(6), f(7), f(8)
+    # unified winner pack: three kind-specific views of rows 9..17
     v0x, v0y, v0z = f(9), f(10), f(11)
     e1x, e1y, e1z = f(12), f(13), f(14)
     e2x, e2y, e2z = f(15), f(16), f(17)
-    c0x, c0y, c0z = f(18), f(19), f(20)
-    c1x, c1y, c1z = f(21), f(22), f(23)
-    st0, st1, sr = f(24), f(25), f(26)
-    qx, qy, qz = f(27), f(28), f(29)
-    qux, quy, quz = f(30), f(31), f(32)
-    qvx, qvy, qvz = f(33), f(34), f(35)
-    tmed = f(36)
+    c0x, c0y, c0z = f(9), f(10), f(11)
+    c1x, c1y, c1z = f(12), f(13), f(14)
+    st0, st1, sr = f(15), f(16), f(17)
+    qx, qy, qz = f(9), f(10), f(11)
+    qux, quy, quz = f(12), f(13), f(14)
+    qvx, qvy, qvz = f(15), f(16), f(17)
+    tmed = f(18)
 
     # ---- triangle (matches _tri_quants) ------------------------------
     tnx = e1y * e2z - e1z * e2y
@@ -121,7 +130,10 @@ def _hit_plane_core(P, kind, flip):
     psx = ox + t_sph * dx
     psy = oy + t_sph * dy
     psz = oz + t_sph * dz
-    inv_r = 1.0 / jnp.maximum(sr, 1e-20)
+    # floor 1e-12, not 1e-20: the vjp computes -1/floor^2 and 1e-40
+    # overflows f32 -> inf * (zero cotangent) = NaN when the unified
+    # pack presents a zero "radius" (non-sphere winners)
+    inv_r = 1.0 / jnp.maximum(sr, 1e-12)
     nsx, nsy, nsz = ((psx - cenx) * inv_r, (psy - ceny) * inv_r,
                      (psz - cenz) * inv_r)
     # UV source: unit normal for the near root, world p for the far
@@ -257,11 +269,13 @@ def _hp_bwd(res, g):
 _hit_planes_call.defvjp(_hp_fwd, _hp_bwd)
 
 
-def hit_attrs_fused(o, d, time, t_min, t_max, kind, flip,
-                    tri_pack, sph_pack, quad_pack, t_med):
+def hit_attrs_fused(o, d, time, t_min, t_max, kind, flip, pack, t_med):
     """Fused phase-2 hit attributes — differentiable (the heavy per-ray
     math runs as paired fwd/bwd Pallas kernels; packing and the sphere-UV
-    epilogue are ordinary XLA and differentiated by JAX AD)."""
+    epilogue are ordinary XLA and differentiated by JAX AD).
+
+    ``pack`` [C,9] is the WINNER's parameter pack (unified across
+    primitive kinds — see N_IN)."""
     from rust_ray_tracer_tpu.ops.intersect import KIND_SPH, _sphere_uv
 
     c = o.shape[0]
@@ -273,9 +287,7 @@ def hit_attrs_fused(o, d, time, t_min, t_max, kind, flip,
 
     feats = ([o[:, i] for i in range(3)] + [d[:, i] for i in range(3)]
              + [time, t_min, t_max]
-             + [tri_pack[:, i] for i in range(9)]
-             + [sph_pack[:, i] for i in range(9)]
-             + [quad_pack[:, i] for i in range(9)]
+             + [pack[:, i] for i in range(9)]
              + [t_med])
     planes = jnp.stack([plane(x) for x in feats])       # [N_IN, Cr, 128]
     kind_p = plane(kind.astype(jnp.int32))
