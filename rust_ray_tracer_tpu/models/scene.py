@@ -59,6 +59,7 @@ PERLIN_N = 256       # perlin.rs:6 (const generic N)
 
 MED_SPHERE = 0       # constant-medium boundary kinds (SceneData.med_kind)
 MED_POLY = 1
+MED_MESH = 2
 
 CLUSTER = 128        # min triangles per culling cluster (one kernel tile)
 MAX_CLUSTERS = 512   # cap on cluster count K — see compile_scene
@@ -144,6 +145,8 @@ class SceneData(NamedTuple):
     med_kind: jnp.ndarray     # [M] int32 (MED_SPHERE | MED_POLY)
     med_pl_n: jnp.ndarray     # [M,P,3] half-space normals (pad: 0)
     med_pl_d: jnp.ndarray     # [M,P]   half-space offsets (pad: 1)
+    med_tri: jnp.ndarray      # [M,Tm,10] mesh-boundary triangles
+                              # (v0|e1|e2|double flag; pad: zero edges)
 
     # Materials: union of the five reference materials.
     mat_kind: jnp.ndarray     # [K] int32
@@ -411,6 +414,23 @@ class Cuboid:
 
 
 @dataclasses.dataclass
+class Mesh:
+    """Triangle soup: a world object AND a valid ConstantMedium
+    boundary — the reference's boundary is any ``Arc<dyn Hittable>``
+    (geometry/constant_medium.rs:16), so a mesh volume must work too.
+
+    ``triangles``: sequence of (v0, v1, v2) vertex triples. Boundary
+    meshes should be closed and ``double_sided=True``: the reference's
+    exit query (constant_medium.rs:48) hits the inside of the far face,
+    which single-sided triangles backface-cull (triangle.rs) — a
+    single-sided boundary yields no medium there and here alike.
+    """
+    triangles: Sequence
+    material: Material | None = None
+    double_sided: bool = True
+
+
+@dataclasses.dataclass
 class Translate:
     base: object
     offset: Vec
@@ -595,6 +615,15 @@ class _Builder:
             u = _apply_d(affine, obj.u)
             v = _apply_d(affine, obj.v)
             self.quads.append((q, u, v, self.material_id(obj.material), flip))
+        elif isinstance(obj, Mesh):
+            if obj.material is None:
+                raise ValueError("a world-object Mesh needs a material "
+                                 "(only ConstantMedium boundaries may "
+                                 "omit it)")
+            for (v0, v1, v2) in obj.triangles:
+                self.add(Triangle(v0, v1, v2, obj.material,
+                                  double_sided=obj.double_sided),
+                         affine, flip)
         elif isinstance(obj, ConstantMedium):
             b = obj.boundary
             # unwrap transforms around the boundary
@@ -608,9 +637,10 @@ class _Builder:
             iso = Isotropic(obj.texture)
             nid = -1.0 / float(obj.density)
             mat = self.material_id(iso)
+            no_tris = np.zeros((0, 10), np.float32)
             if isinstance(b, Sphere):
                 self.media.append((_apply_p(a2, b.center), float(b.radius),
-                                   nid, mat, MED_SPHERE, []))
+                                   nid, mat, MED_SPHERE, [], no_tris))
             elif isinstance(b, Cuboid):
                 # convex polytope boundary: one outward half-space per
                 # face (n·p <= d inside). Matches the reference's
@@ -633,10 +663,28 @@ class _Builder:
                     planes.append((n.astype(np.float32),
                                    float(np.dot(n, q))))
                 self.media.append((np.zeros(3, np.float32), 0.0,
-                                   nid, mat, MED_POLY, planes))
+                                   nid, mat, MED_POLY, planes, no_tris))
+            elif isinstance(b, Mesh):
+                # arbitrary triangle-mesh boundary: the reference's
+                # entry/exit pair is two closest-hit queries over the
+                # SAME hittable (constant_medium.rs:47-49) — replicated
+                # per ray in ops/intersect._med_t over this table
+                dbl = 1.0 if b.double_sided else 0.0
+                rows = []
+                for (v0, v1, v2) in b.triangles:
+                    p0 = _apply_p(a2, _v(v0))
+                    p1 = _apply_p(a2, _v(v1))
+                    p2 = _apply_p(a2, _v(v2))
+                    rows.append(np.concatenate(
+                        [p0, p1 - p0, p2 - p0, [dbl]]).astype(np.float32))
+                if not rows:
+                    raise ValueError("empty Mesh boundary")
+                self.media.append((np.zeros(3, np.float32), 0.0,
+                                   nid, mat, MED_MESH, [],
+                                   np.asarray(rows, np.float32)))
             else:
                 raise NotImplementedError(
-                    "ConstantMedium boundaries: Sphere or Cuboid "
+                    "ConstantMedium boundaries: Sphere, Cuboid or Mesh "
                     "(optionally Translate/RotateY-wrapped). A flat "
                     "rect boundary has no exit hit and yields no medium "
                     "in the reference either (constant_medium.rs:47-49)")
@@ -794,18 +842,24 @@ def compile_scene(scene: Scene, seed: int = 0,
         # empty clusters (all-pad) keep inverted boxes (min > max); the
         # mask pre-pass rejects them explicitly (min <= max check in
         # ops/pallas_intersect._tile_cluster_mask)
-        # second hierarchy level: sub-cluster boxes gating sub-matmuls
-        # via a per-(tile, cluster) bitmask. DISABLED by default since
-        # round-4 hardware measurement: the bitmask REGRESSES the 1M-tri
-        # sweep (fwd 1437.0 ms/wave sub vs 1351.8 flat; with compaction
-        # 1308.7 vs 1266.4 — tools/r4_compact_check.py, v5e 2026-08-19)
-        # because the gated sub-matmuls save compute but the DMA unit is
-        # still the whole cluster, and the sweep is streaming-bound.
-        # RRT_SUB_W re-enables it for experiments (clamped to a
-        # lane-aligned divisor of the cluster width with <= 31 sub-spans
-        # — the kernel's int32 bitmask budget,
-        # pallas_intersect.fused_search).
-        subw = tri_pad
+        # second hierarchy level: fine sub-cluster boxes. Two consumers:
+        # (a) the DEFAULT fine pair-list search grid for big packed
+        #     meshes (pallas_intersect._make_pair_kernel): each live
+        #     (tile, sub-box) pair becomes one small grid step, so the
+        #     sweep scales with boxes actually entered (~12 x 128 tris
+        #     per tile on the 1M-tri scene) instead of the cluster
+        #     survivor union (~113 x 2048);
+        # (b) the per-(tile, cluster) BITMASK gating sub-matmuls inside
+        #     the dense grid — an ablation path only (RRT_SUB_W):
+        #     measured REGRESSION on hardware (fwd 1437.0 ms/wave sub
+        #     vs 1351.8 flat, tools/r4_compact_check.py, v5e
+        #     2026-08-19) because the DMA unit stays the whole cluster.
+        # Default width: CLUSTER (128) whenever clusters are wider than
+        # that (adaptive big-mesh widths); RRT_SUB_W overrides for
+        # bitmask experiments (clamped to a lane-aligned divisor of the
+        # cluster width with <= 31 sub-spans — the int32 bitmask
+        # budget).
+        subw = CLUSTER
         if os.environ.get("RRT_SUB_W"):
             want = int(os.environ["RRT_SUB_W"])
             subw = CLUSTER          # powers of two always divide tri_pad
@@ -910,6 +964,12 @@ def compile_scene(scene: Scene, seed: int = 0,
         for p, (nrm, off) in enumerate(row[5]):
             med_pl_n[i, p] = nrm
             med_pl_d[i, p] = off
+    # mesh boundary triangles, padded with zero-edge rows (n = 0 ->
+    # det 0 -> never valid, same convention as the main tri tables)
+    n_mt = max([r[6].shape[0] for r in b.media], default=0)
+    med_tri = np.zeros((len(b.media), n_mt, 10), np.float32)
+    for i, row in enumerate(b.media):
+        med_tri[i, :row[6].shape[0]] = row[6]
 
     # --- material / texture tables (at least one row so gathers are valid)
     mats = b.materials or [dict(kind=MAT_LAMBERTIAN, tex=0)]
@@ -973,7 +1033,7 @@ def compile_scene(scene: Scene, seed: int = 0,
         quad_cluster_max=j(q_cl_max.astype(np.float32)),
         med_c=j(meds["c"]), med_r=j(meds["r"]), med_neg_inv_d=j(meds["nid"]),
         med_mat=j(meds["mat"]), med_kind=j(meds["kind"]),
-        med_pl_n=j(med_pl_n), med_pl_d=j(med_pl_d),
+        med_pl_n=j(med_pl_n), med_pl_d=j(med_pl_d), med_tri=j(med_tri),
         mat_kind=j(mfield("kind", 0, np.int32)),
         mat_tex=j(mfield("tex", 0, np.int32)),
         mat_fuzz=j(mfield("fuzz", 0.0)),

@@ -22,6 +22,7 @@ one bounce, not depth bounces.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -453,9 +454,18 @@ def render_waves(scene, width: int, height: int, key,
                                       chunk_size, remat,
                                       proc_chunk=proc_chunk)[:n]
             return cam_ops.image_from_positions(rows, width, height)
-        L = lax.map(lambda c: render_chunk(scene, wkey, c, chunk_size,
-                                           width, height, depth, remat),
-                    jnp.arange(n_chunks))
+        # the chunk sweep has NO carry, but lax.map lowers to a
+        # sequential while loop whose per-iteration issue latency shows
+        # up as device idle (round-4 suzanne trace: ~6ms/wave of
+        # sequencing bubbles across 256 chunk-bounce iterations).
+        # unroll>1 places several chunk bodies in one loop iteration so
+        # their kernels/DMAs overlap. RRT_CHUNK_UNROLL tunes it.
+        unroll = int(os.environ.get("RRT_CHUNK_UNROLL", "1"))
+        _, L = lax.scan(
+            lambda _, c: (0, render_chunk(scene, wkey, c, chunk_size,
+                                          width, height, depth, remat)),
+            0, jnp.arange(n_chunks),
+            unroll=min(unroll, n_chunks) if unroll > 1 else 1)
         return cam_ops.image_from_positions(L.reshape(n_pad, 3)[:n],
                                             width, height)
 

@@ -290,6 +290,47 @@ def _med_t(scene, o, d, med_u, t_min, t_max=None):
         root1 = jnp.where(is_poly, t1_p, root1)
         root2 = jnp.where(is_poly, t2_p, root2)
         ok = jnp.where(is_poly, ok_p, ok)
+    if scene.med_tri.shape[1]:
+        # triangle-mesh boundary: the reference's entry/exit pair is
+        # two closest-hit queries over the same mesh — hit1 over
+        # (-inf, inf), hit2 over (hit1.t + 1e-4, inf)
+        # (constant_medium.rs:47-49) — with the triangle's own facing
+        # rule (backface cull unless double-sided, triangle.rs). A
+        # single-sided closed boundary therefore finds no exit and
+        # yields no medium, exactly like the reference. Möller-Trumbore
+        # with the main path's scale-invariant degeneracy cutoff
+        # (|det|/|n| > 1e-5 |d|).
+        from rust_ray_tracer_tpu.models.scene import MED_MESH
+        mt = scene.med_tri                              # [M,Tm,10]
+        v0 = mt[None, :, :, 0:3]                        # [1,M,Tm,3]
+        e1 = mt[None, :, :, 3:6]
+        e2 = mt[None, :, :, 6:9]
+        dbl = mt[None, :, :, 9]
+        o4 = o[:, None, None, :]                        # [C,1,1,3]
+        d4 = d[:, None, None, :]
+        n = jnp.cross(e1, e2)                           # [1,M,Tm,3]
+        inv_n = 1.0 / jnp.maximum(la.length(n), 1e-30)  # [1,M,Tm]
+        pv = jnp.cross(d4, e2)
+        det = jnp.sum(e1 * pv, -1) * inv_n              # [C,M,Tm]
+        eps = 1e-5 * la.length(d)[:, None, None]
+        side_ok = (det > eps) | ((det < -eps) & (dbl > 0.5))
+        inv = 1.0 / jnp.where(jnp.abs(det) > eps, det, 1.0)
+        tv = o4 - v0
+        u = jnp.sum(tv * pv, -1) * inv_n * inv
+        qv = jnp.cross(tv, e1)
+        v = jnp.sum(d4 * qv, -1) * inv_n * inv
+        t = jnp.sum(e2 * qv, -1) * inv_n * inv
+        valid = (side_ok & (u >= 0.0) & (u <= 1.0)
+                 & (v >= 0.0) & (v < 1.0 - u))
+        tt = jnp.where(valid, t, INF)                   # [C,M,Tm]
+        t1_m = jnp.min(tt, axis=-1)                     # [C,M] hit1
+        tt2 = jnp.where(tt > t1_m[..., None] + 1e-4, tt, INF)
+        t2_m = jnp.min(tt2, axis=-1)                    # [C,M] hit2
+        ok_m = (t1_m < INF) & (t2_m < INF)
+        is_mesh = (scene.med_kind == MED_MESH)[None]
+        root1 = jnp.where(is_mesh, t1_m, root1)
+        root2 = jnp.where(is_mesh, t2_m, root2)
+        ok = jnp.where(is_mesh, ok_m, ok)
     t1 = jnp.maximum(root1, t_min[:, None])
     # the t_max clamp (constant_medium.rs:55) only matters for collapsed
     # dead-lane windows (t_max <= t_min must reject EVERY kind — the

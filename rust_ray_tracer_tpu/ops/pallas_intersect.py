@@ -552,81 +552,8 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
 
         @pl.when(tj == k_last)
         def _small_tables():
-            f = feats_ref[:]                            # [BC, 10]
-
-            def rcol(i):
-                return f[:, i:i + 1]                    # [BC, 1]
-
-            ox, oy, oz = rcol(0), rcol(1), rcol(2)
-            dx, dy, dz = rcol(3), rcol(4), rcol(5)
-            time, tmin, tmax = time_ref[:], tmin_ref[:], tmax_ref[:]
-            if has_sph:
-                sph = sph_ref[:]                        # [9, SP]
-
-                def srow(i):
-                    return sph[i:i + 1, :]              # [1, SP]
-
-                c0x, c0y, c0z = srow(0), srow(1), srow(2)
-                e1x, e1y, e1z = srow(3), srow(4), srow(5)
-                st0, inv_dt, r = srow(6), srow(7), srow(8)
-                frac = (time - st0) * inv_dt            # [BC, SP]
-                cx = c0x + frac * e1x
-                cy = c0y + frac * e1y
-                cz = c0z + frac * e1z
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                a = dx * dx + dy * dy + dz * dz
-                b = ocx * dx + ocy * dy + ocz * dz
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                disc = b * b - a * cc
-                ok = disc > 0.0
-                sq = jnp.sqrt(jnp.maximum(disc, 1e-12)) * (disc > 0)
-                inv_a = 1.0 / jnp.maximum(a, 1e-12)
-                root1 = (-b - sq) * inv_a
-                root2 = (-b + sq) * inv_a
-                ok1 = ok & (root1 >= tmin) & (root1 <= tmax)
-                ok2 = ok & (root2 >= tmin) & (root2 <= tmax)
-                t = jnp.where(ok1, root1,
-                              jnp.where(ok2, root2, jnp.inf))
-                loc_t = jnp.min(t, axis=1, keepdims=True)
-                loc_i = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-                fold(loc_t, loc_i, _K_SPH)
-            if has_quad:
-                qd = quad_ref[:]                        # [9, QP]
-
-                def qrow(i):
-                    return qd[i:i + 1, :]
-
-                qx, qy, qz = qrow(0), qrow(1), qrow(2)
-                ux, uy, uz = qrow(3), qrow(4), qrow(5)
-                vx, vy, vz = qrow(6), qrow(7), qrow(8)
-                wnx = uy * vz - uz * vy
-                wny = uz * vx - ux * vz
-                wnz = ux * vy - uy * vx
-                denom = dx * wnx + dy * wny + dz * wnz  # [BC, QP]
-                dsafe = jnp.where(jnp.abs(denom) < 1e-12,
-                                  jnp.where(denom < 0, -1e-12, 1e-12),
-                                  denom)
-                t = ((qx - ox) * wnx + (qy - oy) * wny
-                     + (qz - oz) * wnz) / dsafe
-                wx = ox + t * dx - qx
-                wy = oy + t * dy - qy
-                wz = oz + t * dz - qz
-                n2 = wnx * wnx + wny * wny + wnz * wnz
-                inv_n2 = 1.0 / jnp.maximum(n2, 1e-12)
-                alpha = ((wy * vz - wz * vy) * wnx
-                         + (wz * vx - wx * vz) * wny
-                         + (wx * vy - wy * vx) * wnz) * inv_n2
-                beta = ((uy * wz - uz * wy) * wnx
-                        + (uz * wx - ux * wz) * wny
-                        + (ux * wy - uy * wx) * wnz) * inv_n2
-                valid = ((jnp.abs(denom) > 0.0)
-                         & (t >= tmin) & (t <= tmax)
-                         & (alpha >= 0.0) & (alpha <= 1.0)
-                         & (beta >= 0.0) & (beta <= 1.0))
-                tt = jnp.where(valid, t, jnp.inf)
-                loc_t = jnp.min(tt, axis=1, keepdims=True)
-                loc_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
-                fold(loc_t, loc_i, _K_QUAD)
+            _fold_small_tables(feats_ref, time_ref, tmin_ref, tmax_ref,
+                               sph_ref, quad_ref, fold, has_sph, has_quad)
 
     if packed:
         def kernel(ids_ref, cnt_ref, sub_ref, feats_ref, pack_ref,
@@ -644,6 +571,212 @@ def _make_fused_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
                  tmin_ref, tmax_ref, sph_ref, quad_ref,
                  bt_ref, bk_ref, bi_ref)
     return kernel
+
+
+def _fold_small_tables(feats_ref, time_ref, tmin_ref, tmax_ref,
+                       sph_ref, quad_ref, fold, has_sph, has_quad):
+    """Fold the (small, VMEM-resident) sphere and quad tables into the
+    running best — shared by the dense (tiles x clusters) and pair-list
+    kernels; runs exactly once per ray tile, AFTER all its triangle
+    folds (cross-kind precedence: strict <, tri < sphere < quad)."""
+    f = feats_ref[:]                                    # [BC, 10]
+
+    def rcol(i):
+        return f[:, i:i + 1]                            # [BC, 1]
+
+    ox, oy, oz = rcol(0), rcol(1), rcol(2)
+    dx, dy, dz = rcol(3), rcol(4), rcol(5)
+    time, tmin, tmax = time_ref[:], tmin_ref[:], tmax_ref[:]
+    if has_sph:
+        sph = sph_ref[:]                                # [9, SP]
+
+        def srow(i):
+            return sph[i:i + 1, :]                      # [1, SP]
+
+        c0x, c0y, c0z = srow(0), srow(1), srow(2)
+        e1x, e1y, e1z = srow(3), srow(4), srow(5)
+        st0, inv_dt, r = srow(6), srow(7), srow(8)
+        frac = (time - st0) * inv_dt            # [BC, SP]
+        cx = c0x + frac * e1x
+        cy = c0y + frac * e1y
+        cz = c0z + frac * e1z
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        b = ocx * dx + ocy * dy + ocz * dz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - a * cc
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12)) * (disc > 0)
+        inv_a = 1.0 / jnp.maximum(a, 1e-12)
+        root1 = (-b - sq) * inv_a
+        root2 = (-b + sq) * inv_a
+        ok1 = ok & (root1 >= tmin) & (root1 <= tmax)
+        ok2 = ok & (root2 >= tmin) & (root2 <= tmax)
+        t = jnp.where(ok1, root1,
+                      jnp.where(ok2, root2, jnp.inf))
+        loc_t = jnp.min(t, axis=1, keepdims=True)
+        loc_i = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+        fold(loc_t, loc_i, _K_SPH)
+    if has_quad:
+        qd = quad_ref[:]                        # [9, QP]
+
+        def qrow(i):
+            return qd[i:i + 1, :]
+
+        qx, qy, qz = qrow(0), qrow(1), qrow(2)
+        ux, uy, uz = qrow(3), qrow(4), qrow(5)
+        vx, vy, vz = qrow(6), qrow(7), qrow(8)
+        wnx = uy * vz - uz * vy
+        wny = uz * vx - ux * vz
+        wnz = ux * vy - uy * vx
+        denom = dx * wnx + dy * wny + dz * wnz  # [BC, QP]
+        dsafe = jnp.where(jnp.abs(denom) < 1e-12,
+                          jnp.where(denom < 0, -1e-12, 1e-12),
+                          denom)
+        t = ((qx - ox) * wnx + (qy - oy) * wny
+             + (qz - oz) * wnz) / dsafe
+        wx = ox + t * dx - qx
+        wy = oy + t * dy - qy
+        wz = oz + t * dz - qz
+        n2 = wnx * wnx + wny * wny + wnz * wnz
+        inv_n2 = 1.0 / jnp.maximum(n2, 1e-12)
+        alpha = ((wy * vz - wz * vy) * wnx
+                 + (wz * vx - wx * vz) * wny
+                 + (wx * vy - wy * vx) * wnz) * inv_n2
+        beta = ((uy * wz - uz * wy) * wnx
+                + (uz * wx - ux * wz) * wny
+                + (ux * wy - uy * wx) * wnz) * inv_n2
+        valid = ((jnp.abs(denom) > 0.0)
+                 & (t >= tmin) & (t <= tmax)
+                 & (alpha >= 0.0) & (alpha <= 1.0)
+                 & (beta >= 0.0) & (beta <= 1.0))
+        tt = jnp.where(valid, t, jnp.inf)
+        loc_t = jnp.min(tt, axis=1, keepdims=True)
+        loc_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
+        fold(loc_t, loc_i, _K_QUAD)
+
+
+def _make_pair_kernel(has_tri: bool, has_sph: bool, has_quad: bool,
+                      packed: bool, B: int):
+    """1D pair-list variant of the fused search kernel.
+
+    The dense grid is (ray tiles x ALL clusters): every non-surviving
+    (tile, cluster) slot still costs a pipeline step (DMA elided,
+    compute skipped), which dominates big-mesh waves — the round-4
+    roofline measured 293k grid steps/wave at ~4.3us amortized on the
+    1M-tri scene while only ~1/5 carry work, and dead tiles on bounces
+    1-3 still pay all K steps. Here the grid is ONE dimension: the
+    ``total`` live (tile, cluster) pairs (a traced value — Mosaic
+    supports dynamic grid bounds), tile-major. Scalar-prefetched
+    ``pt/pb/pv`` give each step its ray tile, cluster block and a
+    validity flag (every tile emits >= 1 pair so its outputs are
+    initialized and the sphere/quad fold runs; a dead tile costs
+    exactly one step). This is the TPU shape of the reference's
+    hierarchy-pruned traversal (geometry/mod.rs:137-153): work scales
+    with boxes actually entered, not boxes that exist.
+
+    Ordering contract: pairs of one tile are CONSECUTIVE and ascending
+    in cluster id (the output block pins in VMEM for the whole run;
+    ascending ids + the lexicographic (t, index) fold keep winners
+    bitwise identical to the dense sweep), and the sphere/quad fold
+    fires on the tile's LAST pair — after all its triangle folds, as
+    the cross-kind strict-< precedence requires.
+    """
+    def impl(pt_ref, pb_ref, pv_ref, feats_ref, tri_refs, time_ref,
+             tmin_ref, tmax_ref, sph_ref, quad_ref,
+             bt_ref, bk_ref, bi_ref):
+        j = pl.program_id(0)
+        n = pl.num_programs(0)
+        tile = pt_ref[j]
+
+        @pl.when((j == 0) | (pt_ref[jnp.maximum(j - 1, 0)] != tile))
+        def _init():
+            bt_ref[:] = jnp.full_like(bt_ref, jnp.inf)
+            bk_ref[:] = jnp.zeros_like(bk_ref)
+            bi_ref[:] = jnp.zeros_like(bi_ref)
+
+        def fold(loc_t, loc_i, kind):
+            better = loc_t < bt_ref[:]
+            bi_ref[:] = jnp.where(better, loc_i, bi_ref[:])
+            bk_ref[:] = jnp.where(better, jnp.int32(kind), bk_ref[:])
+            bt_ref[:] = jnp.where(better, loc_t, bt_ref[:])
+
+        def fold_tri(loc_t, loc_i, kind):
+            bt = bt_ref[:]
+            better = (loc_t < bt) | ((loc_t == bt) & (loc_i < bi_ref[:]))
+            bi_ref[:] = jnp.where(better, loc_i, bi_ref[:])
+            bk_ref[:] = jnp.where(better, jnp.int32(kind), bk_ref[:])
+            bt_ref[:] = jnp.where(better, loc_t, bt_ref[:])
+
+        if has_tri:
+            @pl.when(pv_ref[j] > 0)
+            def _tri():
+                width = tri_refs[0].shape[1]
+                if packed:
+                    det_m, u_m, v_m, t_m, dbl = _coeffs_from_pack(
+                        tri_refs[0][:])
+                else:
+                    det_m, u_m, v_m, t_m = (r[:] for r in tri_refs[:4])
+                    dbl = tri_refs[4][:]
+                _tri_eval_fold(feats_ref[:], det_m, u_m, v_m, t_m,
+                               dbl, tmin_ref[:], tmax_ref[:],
+                               pb_ref[j], width, fold_tri)
+
+        @pl.when((j == n - 1)
+                 | (pt_ref[jnp.minimum(j + 1, B - 1)] != tile))
+        def _small_tables():
+            _fold_small_tables(feats_ref, time_ref, tmin_ref, tmax_ref,
+                               sph_ref, quad_ref, fold, has_sph, has_quad)
+
+    if packed:
+        def kernel(pt_ref, pb_ref, pv_ref, feats_ref, pack_ref,
+                   time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
+                   bt_ref, bk_ref, bi_ref):
+            impl(pt_ref, pb_ref, pv_ref, feats_ref, (pack_ref,),
+                 time_ref, tmin_ref, tmax_ref, sph_ref, quad_ref,
+                 bt_ref, bk_ref, bi_ref)
+    else:
+        def kernel(pt_ref, pb_ref, pv_ref, feats_ref, det_ref, u_ref,
+                   v_ref, t_ref, dbl_ref, time_ref, tmin_ref, tmax_ref,
+                   sph_ref, quad_ref, bt_ref, bk_ref, bi_ref):
+            impl(pt_ref, pb_ref, pv_ref, feats_ref,
+                 (det_ref, u_ref, v_ref, t_ref, dbl_ref), time_ref,
+                 tmin_ref, tmax_ref, sph_ref, quad_ref,
+                 bt_ref, bk_ref, bi_ref)
+    return kernel
+
+
+def _pair_arrays(ent, B):
+    """Flatten [Ci, K] tile/cluster entry distances into a tile-major
+    pair list for the 1D search grid.
+
+    Returns (tile [B] int32, blk [B] int32, valid [B] int32,
+    total int32 traced): pairs of tile i occupy positions
+    offs[i]..offs[i]+cnt_eff[i)-1 with ascending surviving cluster ids;
+    a tile with NO survivors still emits one (valid=0) pair so the
+    kernel initializes its outputs and folds the small tables. Entries
+    past ``total`` repeat the owner's last pair (valid=0) but never run
+    (the grid bound is ``total``).
+    """
+    ci, k = ent.shape
+    fin = ent < jnp.inf                                  # [Ci, K]
+    cnt = jnp.sum(fin, axis=1, dtype=jnp.int32)          # [Ci]
+    pos = jnp.cumsum(fin, axis=1, dtype=jnp.int32) - 1
+    dest = jnp.where(fin, pos, k)                        # k = dump col
+    ids = jnp.zeros((ci, k + 1), jnp.int32).at[
+        jnp.arange(ci, dtype=jnp.int32)[:, None], dest].set(
+        jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32),
+                         (ci, k)))[:, :k]
+    cnt_eff = jnp.maximum(cnt, 1)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cnt_eff, dtype=jnp.int32)[:-1]])
+    total = jnp.sum(cnt_eff, dtype=jnp.int32)
+    j = jnp.arange(B, dtype=jnp.int32)
+    tile = (jnp.searchsorted(offs, j, side="right") - 1).astype(jnp.int32)
+    rank = j - offs[tile]
+    blk = ids[tile, jnp.minimum(rank, cnt_eff[tile] - 1)]
+    valid = (rank < cnt[tile]).astype(jnp.int32)
+    return tile, blk, valid, total
 
 
 def fused_search(scene, o, d, time, t_min, t_max):
@@ -692,10 +825,24 @@ def fused_search(scene, o, d, time, t_min, t_max):
         n_sub_rows = scene.tri_sub_min.shape[0]
         if os.environ.get("RRT_NO_SUB", "") == "1":   # ablation gate
             n_sub_rows = 0
-        if packed and n_sub_rows and t_total // n_sub_rows < bt:
+        # bitmask second level: ablation-only (RRT_SUB_W) — measured
+        # regression as the dense default (models/scene.py ledger)
+        use_bitmask = (bool(os.environ.get("RRT_SUB_W")) and packed
+                       and n_sub_rows and t_total // n_sub_rows < bt)
+        fine_w = t_total // n_sub_rows if n_sub_rows else 0
+        # fine pair grid: sub-box-sized blocks for big packed meshes
+        # (the default — see the pair dispatch below). RRT_PAIR_FINE=0
+        # keeps the pair grid but at coarse CLUSTER blocks (ablation:
+        # separates the dynamic-grid win from the block-size choice).
+        use_fine = (packed and n_sub_rows and fine_w < bt
+                    and not use_bitmask
+                    and os.environ.get("RRT_PAIR", "") != "0"
+                    and os.environ.get("RRT_PAIR_FINE", "") != "0")
+        ent_fine = None
+        if use_bitmask:
             # two-level hierarchy: test rays against SUB-boxes, fold to
             # cluster entries + per-(tile, cluster) survivor bitmasks
-            sub = bt // (t_total // n_sub_rows)
+            sub = bt // fine_w
             assert sub <= 31, sub   # bits in an int32 mask
             ent_sub = tile_cluster_enter_pallas(
                 feats[:, 0:3], feats[:, 3:6],
@@ -708,6 +855,12 @@ def fused_search(scene, o, d, time, t_min, t_max):
             sub_bits = jnp.sum(
                 jnp.where(jnp.isfinite(ent_sub), weights[None, None], 0),
                 axis=2, dtype=jnp.int32)              # [Ci, K]
+        elif use_fine:
+            ent_fine = tile_cluster_enter_pallas(
+                feats[:, 0:3], feats[:, 3:6],
+                scene.tri_sub_min, scene.tri_sub_max,
+                tmin_p[:, 0], tmax_mask)              # [Ci, n_sub]
+            ent = None   # coarse entries derived lazily (overflow path)
         else:
             ent = tile_cluster_enter_pallas(
                 feats[:, 0:3], feats[:, 3:6],
@@ -721,25 +874,23 @@ def fused_search(scene, o, d, time, t_min, t_max):
             tri_tabs = (jnp.zeros((10, bt), jnp.float32),) * 4 \
                 + (jnp.zeros((1, bt), jnp.float32),)
         k = 1
+        use_fine = False
+        ent_fine = None
         ent = jnp.full((cp // BC, 1), jnp.inf, jnp.float32)
 
-    # compact the tile-entry distances into per-tile survivor id lists
-    # SORTED FRONT TO BACK: step j of tile i sweeps cluster ids[i, j];
-    # past cnt[i] the index map repeats the last survivor, so the
-    # pipeline skips both the DMA and the compute. (A tile-level
-    # closest-hit prune on these entry bounds was measured and REVERTED
-    # — see the NOTE inside the kernel; the front-to-back order stays,
-    # and equal-t winners remain bitwise identical to the dense
-    # ascending sweep because the tri fold is lexicographic in
-    # (t, index).)
-    cnt = jnp.sum(ent < jnp.inf, axis=1, dtype=jnp.int32)      # [Ci]
-    ids = jnp.argsort(ent, axis=1, stable=True).astype(jnp.int32)
-    # survivor bitmasks travel in the ids order (sub_ref[ti, tj] gates
-    # the sub-blocks of cluster ids[ti, tj])
-    if sub_bits is not None:
-        subm = jnp.take_along_axis(sub_bits, ids, axis=1)
-    else:
-        subm = jnp.zeros((ids.shape[0], 1), jnp.int32)
+    # grid dispatch: the 1D dynamic pair-list grid (_make_pair_kernel)
+    # is the default wherever it can win — FINE sub-box blocks for big
+    # packed meshes, coarse cluster blocks when there are enough
+    # clusters for the dense grid's dead steps to matter (measured
+    # 2026-08-19, v5e: composite k=339 fwd 359.3 -> 315.8 ms/wave;
+    # suzanne k=8 REGRESSES 19.3 -> 24.3 — the pair construction costs
+    # more than 8 clusters' worth of skipped steps). RRT_PAIR=0 forces
+    # the dense grid everywhere, RRT_PAIR=1 forces the pair grid at any
+    # cluster count (ablation / tests).
+    PAIR_MIN_K = 16
+    pair_env = os.environ.get("RRT_PAIR", "")
+    use_pair = (has_tri and sub == 0 and pair_env != "0"
+                and (pair_env == "1" or use_fine or k >= PAIR_MIN_K))
 
     # sphere table [9, SP]: far-pad rows give disc = inf - inf = NaN,
     # rejected on every comparison path (see ops/pallas_sphere.py)
@@ -765,53 +916,150 @@ def fused_search(scene, o, d, time, t_min, t_max):
             [scene.quad_q.T, scene.quad_u.T, scene.quad_v.T], axis=0)
         quad = quad.at[:, :q_n].set(real[:, :q_n])
 
-    def cluster_ix(i, j, ids_r, cnt_r, sub_r):
-        # survivor j of tile i; past the count, pin to the last survivor
-        # (same block index -> the pipeline elides the copy)
-        return (0, ids_r[i, jnp.minimum(j, jnp.maximum(cnt_r[i] - 1, 0))])
+    out_shape = [
+        jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * cp * 10 * 4 * k * bt + cp * (SP + QP) * 40,
+        transcendentals=0,
+        bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4)
 
-    coeff_spec = pl.BlockSpec((10, bt), cluster_ix,
-                              memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((BC, 1), lambda i, j, *pref: (i, 0),
-                            memory_space=pltpu.VMEM)
-    fix_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, j, *pref: (0, 0),
-        memory_space=pltpu.VMEM)
-    if packed:
-        tri_specs = [coeff_spec]
-    else:
-        tri_specs = [coeff_spec] * 4 + [
-            pl.BlockSpec((1, bt), cluster_ix, memory_space=pltpu.VMEM)]
-    best_t, best_k, best_i = pl.pallas_call(
-        _make_fused_kernel(has_tri, has_sph, has_quad, k - 1,
-                           packed=packed, sub=sub),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,            # ids, cnt, sub bitmasks
-            grid=(cp // BC, k),
-            in_specs=[
-                pl.BlockSpec((BC, 10), lambda i, j, *pref: (i, 0),
-                             memory_space=pltpu.VMEM),
-                *tri_specs,
-                ray_spec, ray_spec, ray_spec,
-                fix_spec((9, SP)),
-                fix_spec((9, QP)),
-            ],
-            out_specs=[ray_spec, ray_spec, ray_spec],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((cp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((cp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((cp, 1), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * cp * 10 * 4 * k * bt + cp * (SP + QP) * 40,
-            transcendentals=0,
-            bytes_accessed=cp * 16 * 4 + 4 * 10 * k * bt * 4),
-        interpret=INTERPRET,
-    )(ids, cnt, subm, feats, *tri_tabs,
-      time_p, tmin_p, tmax_p, sph, quad)
+    def _finish(res):
+        best_t, best_k, best_i = res
+        bt_, bk_, bi_ = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]
+        if has_tri:
+            bi_ = jnp.where(bk_ == _K_TRI, jnp.minimum(bi_, t_n - 1), bi_)
+        return bt_, bk_, bi_
 
-    bt, bk, bi = best_t[:c, 0], best_k[:c, 0], best_i[:c, 0]
-    if has_tri:
-        bi = jnp.where(bk == _K_TRI, jnp.minimum(bi, t_n - 1), bi)
-    return bt, bk, bi
+    def _pair_call(ptl, pbl, pvl, n_steps, w, B):
+        """Pair-list grid over ``n_steps`` (traced) live pairs of
+        ``w``-wide triangle blocks."""
+        p_ray = pl.BlockSpec((BC, 1), lambda j, pt, pb, pv: (pt[j], 0),
+                             memory_space=pltpu.VMEM)
+        p_coeff = pl.BlockSpec((10, w), lambda j, pt, pb, pv: (0, pb[j]),
+                               memory_space=pltpu.VMEM)
+        p_fix = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda j, pt, pb, pv: (0, 0),
+            memory_space=pltpu.VMEM)
+        if packed:
+            p_tri = [p_coeff]
+        else:
+            p_tri = [p_coeff] * 4 + [
+                pl.BlockSpec((1, w), lambda j, pt, pb, pv: (0, pb[j]),
+                             memory_space=pltpu.VMEM)]
+        return pl.pallas_call(
+            _make_pair_kernel(has_tri, has_sph, has_quad,
+                              packed=packed, B=B),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,        # pair tile / block / valid
+                grid=(n_steps,),
+                in_specs=[
+                    pl.BlockSpec((BC, 10), lambda j, pt, pb, pv: (pt[j], 0),
+                                 memory_space=pltpu.VMEM),
+                    *p_tri,
+                    p_ray, p_ray, p_ray,
+                    p_fix((9, SP)),
+                    p_fix((9, QP)),
+                ],
+                out_specs=[p_ray, p_ray, p_ray],
+            ),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=INTERPRET,
+        )(ptl, pbl, pvl, feats, *tri_tabs,
+          time_p, tmin_p, tmax_p, sph, quad)
+
+    def _dense_call(ent):
+        # compact the tile-entry distances into per-tile survivor id
+        # lists SORTED FRONT TO BACK: step j of tile i sweeps cluster
+        # ids[i, j]; past cnt[i] the index map repeats the last
+        # survivor, so the pipeline skips both the DMA and the compute.
+        # (A tile-level closest-hit prune on these entry bounds was
+        # measured and REVERTED — see the NOTE inside the kernel; the
+        # front-to-back order stays, and equal-t winners remain bitwise
+        # identical to the dense ascending sweep because the tri fold
+        # is lexicographic in (t, index).)
+        cnt = jnp.sum(ent < jnp.inf, axis=1, dtype=jnp.int32)  # [Ci]
+        ids = jnp.argsort(ent, axis=1, stable=True).astype(jnp.int32)
+        # survivor bitmasks travel in the ids order (sub_ref[ti, tj]
+        # gates the sub-blocks of cluster ids[ti, tj])
+        if sub_bits is not None:
+            subm = jnp.take_along_axis(sub_bits, ids, axis=1)
+        else:
+            subm = jnp.zeros((ids.shape[0], 1), jnp.int32)
+
+        def cluster_ix(i, j, ids_r, cnt_r, sub_r):
+            # survivor j of tile i; past the count, pin to the last
+            # survivor (same block index -> the pipeline elides the copy)
+            return (0, ids_r[i, jnp.minimum(j,
+                                            jnp.maximum(cnt_r[i] - 1, 0))])
+
+        coeff_spec = pl.BlockSpec((10, bt), cluster_ix,
+                                  memory_space=pltpu.VMEM)
+        ray_spec = pl.BlockSpec((BC, 1), lambda i, j, *pref: (i, 0),
+                                memory_space=pltpu.VMEM)
+        fix_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, j, *pref: (0, 0),
+            memory_space=pltpu.VMEM)
+        if packed:
+            tri_specs = [coeff_spec]
+        else:
+            tri_specs = [coeff_spec] * 4 + [
+                pl.BlockSpec((1, bt), cluster_ix,
+                             memory_space=pltpu.VMEM)]
+        return pl.pallas_call(
+            _make_fused_kernel(has_tri, has_sph, has_quad, k - 1,
+                               packed=packed, sub=sub),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,        # ids, cnt, sub bitmasks
+                grid=(cp // BC, k),
+                in_specs=[
+                    pl.BlockSpec((BC, 10), lambda i, j, *pref: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    *tri_specs,
+                    ray_spec, ray_spec, ray_spec,
+                    fix_spec((9, SP)),
+                    fix_spec((9, QP)),
+                ],
+                out_specs=[ray_spec, ray_spec, ray_spec],
+            ),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=INTERPRET,
+        )(ids, cnt, subm, feats, *tri_tabs,
+          time_p, tmin_p, tmax_p, sph, quad)
+
+    if use_pair:
+        ci = cp // BC
+        if use_fine:
+            # fine sub-box blocks: work scales with the ~w-tri boxes a
+            # tile's rays enter instead of the full cluster survivor
+            # union. Budget: B pairs; a chunk-bounce whose tiles enter
+            # more than B boxes total (incoherent frusta) falls back to
+            # the dense cluster sweep via lax.cond — correct for any
+            # input, fine-grid fast for the common coherent case.
+            nb = scene.tri_sub_min.shape[0]
+            cap = int(os.environ.get("RRT_PAIR_CAP", "512"))
+            B = ci * min(nb, cap)
+            ptl, pbl, pvl, total = _pair_arrays(ent_fine, B)
+            if nb <= cap:
+                return _finish(_pair_call(ptl, pbl, pvl, total,
+                                          fine_w, B))
+            g = bt // fine_w
+
+            def fine_fn(_):
+                return _pair_call(ptl, pbl, pvl, jnp.minimum(total, B),
+                                  fine_w, B)
+
+            def dense_fn(_):
+                ent_c = jnp.min(
+                    ent_fine.reshape(ent_fine.shape[0], k, g), axis=2)
+                return _dense_call(ent_c)
+
+            return _finish(lax.cond(total > B, dense_fn, fine_fn, 0))
+        ptl, pbl, pvl, total = _pair_arrays(ent, ci * k)
+        return _finish(_pair_call(ptl, pbl, pvl, total, bt, ci * k))
+
+    return _finish(_dense_call(ent))

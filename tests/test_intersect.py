@@ -290,6 +290,77 @@ class TestMedium:
         h = run(sc, [0, 3, 0], [0, 0, -1], med_u=med_u)  # passes above
         assert not bool(h.hit[0])
 
+    @staticmethod
+    def _cube_mesh(mn, mx, double_sided=True):
+        """The 12-triangle cube (vertex triples), for Mesh boundaries."""
+        mn, mx = np.asarray(mn, np.float64), np.asarray(mx, np.float64)
+        corners = [(mn[0] if i & 1 == 0 else mx[0],
+                    mn[1] if i & 2 == 0 else mx[1],
+                    mn[2] if i & 4 == 0 else mx[2]) for i in range(8)]
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+        tris = []
+        for a, b, c, d in quads:
+            tris.append((corners[a], corners[b], corners[c]))
+            tris.append((corners[a], corners[c], corners[d]))
+        return S.Mesh(tris, double_sided=double_sided)
+
+    def test_mesh_boundary_matches_cuboid(self):
+        """A 12-triangle cube Mesh boundary scatters exactly like the
+        Cuboid (MED_POLY) boundary — entry/exit via the reference's
+        two-hit queries (constant_medium.rs:47-49)."""
+        rho, u = 2.0, 0.3
+        box = S.ConstantMedium.from_color(
+            S.Cuboid((-1, -1, -6), (1, 1, -4), S.Dielectric(1.5)),
+            rho, (1, 0, 0))
+        mesh = S.ConstantMedium.from_color(
+            self._cube_mesh((-1, -1, -6), (1, 1, -4)), rho, (1, 0, 0))
+        o, d = [0.2, -0.3, 0], [0.05, 0.02, -1]
+        ts = []
+        for med in (box, mesh):
+            sc = make([med])
+            med_u = jnp.full((1, sc.n_media), u, jnp.float32)
+            h = run(sc, o, d, med_u=med_u)
+            assert bool(h.hit[0])
+            ts.append(float(h.t[0]))
+            np.testing.assert_allclose(np.asarray(h.normal[0]), [1, 0, 0])
+        np.testing.assert_allclose(ts[0], ts[1], rtol=1e-4)
+
+    def test_mesh_boundary_under_transform(self):
+        """Translate/RotateY wrap a Mesh boundary like any other."""
+        rho, u = 2.0, 0.5
+        prism = S.Translate(
+            S.RotateY(self._cube_mesh((-1, -1, -1), (1, 1, 1)), 45.0),
+            (5.0, 0.0, 0.0))
+        sc = make([S.ConstantMedium.from_color(prism, rho, (1, 0, 0))])
+        med_u = jnp.full((1, sc.n_media), u, jnp.float32)
+        h = run(sc, [0, 0, 0], [1, 0, 0], med_u=med_u)
+        t1 = 5.0 - np.sqrt(2.0)
+        expect = t1 + (-1.0 / rho) * np.log(u)
+        assert bool(h.hit[0])
+        np.testing.assert_allclose(float(h.t[0]), expect, rtol=1e-4)
+
+    def test_single_sided_mesh_boundary_has_no_exit(self):
+        """Single-sided closed mesh: the exit query backface-culls the
+        far face (triangle.rs facing rule), so no medium — matching the
+        reference's two-hit scheme exactly."""
+        mesh = self._cube_mesh((-1, -1, -6), (1, 1, -4),
+                               double_sided=False)
+        sc = make([S.ConstantMedium.from_color(mesh, 50.0, (1, 0, 0))])
+        med_u = jnp.full((1, sc.n_media), 0.5, jnp.float32)
+        h = run(sc, [0, 0, 0], [0, 0, -1], med_u=med_u)
+        assert not bool(h.hit[0])
+
+    def test_mesh_as_world_object(self):
+        """Mesh also works as plain geometry (expands to Triangles)."""
+        mesh = self._cube_mesh((-1, -1, -6), (1, 1, -4))
+        mesh.material = MAT
+        sc = make([mesh])
+        assert sc.n_tris >= 12
+        h = run(sc, [0, 0, 0], [0, 0, -1])
+        assert bool(h.hit[0])
+        np.testing.assert_allclose(float(h.t[0]), 4.0, rtol=1e-5)
+
 
 class TestFlipFace:
     def test_flip_quirk(self):

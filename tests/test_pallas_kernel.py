@@ -396,3 +396,103 @@ def test_subcluster_bitmask_exact():
                                    np.asarray(h_sub.t)[m], rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(ref.mat)[m],
                                       np.asarray(h_sub.mat)[m])
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pair_list_matches_dense_grid(packed):
+    """The 1D dynamic pair-list search grid (the default for k > 1)
+    must be BITWISE identical to the dense (tiles x clusters) grid —
+    same (t, kind, idx) winners, including dead lanes, pad rays,
+    all-dead tiles and cross-kind (sphere/quad) precedence."""
+    rng = np.random.default_rng(17)
+    world = []
+    mats = [S.Lambertian.from_rgb(0.5, 0.5, 0.5),
+            S.Metal((0.9, 0.8, 0.7), 0.1)]
+    for i in range(400):     # > 3 clusters of 128
+        v0 = rng.uniform(-4, 4, 3).astype(np.float32)
+        v0[2] -= 6.0
+        e = rng.uniform(-0.4, 0.4, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mats[i % 2],
+                                double_sided=bool(i % 3)))
+    world.append(S.Sphere((0, 0, -5), 0.7, mats[0]))
+    world.append(S.XZRect(-3, 3, -8, -3, -2.0, mats[1]))
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)))
+    assert sd.tri_cluster_min.shape[0] > 1
+
+    C = 600
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    # a block of consecutive rays pointing AWAY from everything: their
+    # tile should survive as a single valid=0 pair (all-dead-tile path)
+    d = d.at[300:560, 2].set(jnp.abs(d[300:560, 2]) + 1.0)
+    tt = jnp.asarray(rng.random(C), jnp.float32)
+    t_min = jnp.full((C,), 1e-4, jnp.float32)
+    t_max = jnp.where(jnp.arange(C) % 7 == 0, -1.0, jnp.inf)  # dead lanes
+
+    pk.INKERNEL_COEFFS = packed
+    try:
+        os.environ["RRT_PAIR"] = "1"   # force: k=4 is under PAIR_MIN_K
+        try:
+            pair = pk.fused_search(sd, o, d, tt, t_min, t_max)
+        finally:
+            os.environ["RRT_PAIR"] = "0"
+        try:
+            dense = pk.fused_search(sd, o, d, tt, t_min, t_max)
+        finally:
+            del os.environ["RRT_PAIR"]
+    finally:
+        pk.INKERNEL_COEFFS = None
+
+    for a, b, name in zip(pair, dense, ("t", "kind", "idx")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    kinds = np.asarray(dense[1])
+    assert (kinds == 1).any() and (kinds == 2).any() and (kinds == 3).any()
+
+
+@pytest.mark.parametrize("cap", ["512", "2"])
+def test_fine_pair_grid_matches_dense(cap):
+    """Fine sub-box pair blocks (the big-packed-mesh default) must match
+    the dense cluster sweep bitwise — both under the in-budget fine
+    grid and under the RRT_PAIR_CAP overflow lax.cond fallback."""
+    rng = np.random.default_rng(23)
+    world = []
+    mat = S.Lambertian.from_rgb(0.5, 0.5, 0.5)
+    for i in range(900):
+        v0 = rng.uniform(-4, 4, 3).astype(np.float32)
+        v0[2] -= 6.0
+        e = rng.uniform(-0.4, 0.4, (2, 3)).astype(np.float32)
+        world.append(S.Triangle(v0, v0 + e[0], v0 + e[1], mat,
+                                double_sided=bool(i % 3)))
+    world.append(S.Sphere((0, 0, -5), 0.7, mat))
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    # tri_pad 512 > CLUSTER -> 128-wide sub boxes are built by default
+    sd = compile_scene(S.Scene(cam, world, [], (0, 0, 0)), tri_pad=512)
+    assert sd.tri_sub_min.shape[0] == sd.tri_v0.shape[0] // 128
+    assert sd.tri_cluster_min.shape[0] > 1
+
+    C = 600
+    o = jnp.asarray(rng.uniform(-2, 2, (C, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((C, 3)), jnp.float32)
+    tt = jnp.zeros(C, jnp.float32)
+    t_min = jnp.full((C,), 1e-4, jnp.float32)
+    t_max = jnp.where(jnp.arange(C) % 7 == 0, -1.0, jnp.inf)
+
+    pk.INKERNEL_COEFFS = True      # packed: the fine-grid eligibility
+    os.environ["RRT_PAIR_CAP"] = cap
+    try:
+        fine = pk.fused_search(sd, o, d, tt, t_min, t_max)
+        os.environ["RRT_PAIR"] = "0"
+        try:
+            dense = pk.fused_search(sd, o, d, tt, t_min, t_max)
+        finally:
+            del os.environ["RRT_PAIR"]
+    finally:
+        del os.environ["RRT_PAIR_CAP"]
+        pk.INKERNEL_COEFFS = None
+
+    for a, b, name in zip(fine, dense, ("t", "kind", "idx")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    assert (np.asarray(dense[1]) == 1).any()
