@@ -830,14 +830,17 @@ def fused_search(scene, o, d, time, t_min, t_max):
         use_bitmask = (bool(os.environ.get("RRT_SUB_W")) and packed
                        and n_sub_rows and t_total // n_sub_rows < bt)
         fine_w = t_total // n_sub_rows if n_sub_rows else 0
-        # fine pair grid: sub-box-sized blocks for big packed meshes
-        # (the default — see the pair dispatch below). RRT_PAIR_FINE=0
-        # keeps the pair grid but at coarse CLUSTER blocks (ablation:
-        # separates the dynamic-grid win from the block-size choice).
+        # fine pair grid: sub-box-sized blocks (RRT_PAIR_FINE=1,
+        # ablation-only): MEASURED LOSS on the 1M-tri scene vs coarse
+        # cluster-block pairs (fwd 948.0 vs 910.7 ms/wave; dense 922.4
+        # — tools/r4_bigmesh_pair.py, v5e 2026-08-19): the 8128-box
+        # pre-pass + bounce-cone overflow into the dense lax.cond
+        # fallback eat the finer culling. Coarse pairs are the default
+        # at k >= PAIR_MIN_K.
         use_fine = (packed and n_sub_rows and fine_w < bt
                     and not use_bitmask
                     and os.environ.get("RRT_PAIR", "") != "0"
-                    and os.environ.get("RRT_PAIR_FINE", "") != "0")
+                    and os.environ.get("RRT_PAIR_FINE", "") == "1")
         ent_fine = None
         if use_bitmask:
             # two-level hierarchy: test rays against SUB-boxes, fold to

@@ -481,6 +481,7 @@ def test_fine_pair_grid_matches_dense(cap):
 
     pk.INKERNEL_COEFFS = True      # packed: the fine-grid eligibility
     os.environ["RRT_PAIR_CAP"] = cap
+    os.environ["RRT_PAIR_FINE"] = "1"   # fine blocks are ablation-only
     try:
         fine = pk.fused_search(sd, o, d, tt, t_min, t_max)
         os.environ["RRT_PAIR"] = "0"
@@ -490,6 +491,7 @@ def test_fine_pair_grid_matches_dense(cap):
             del os.environ["RRT_PAIR"]
     finally:
         del os.environ["RRT_PAIR_CAP"]
+        del os.environ["RRT_PAIR_FINE"]
         pk.INKERNEL_COEFFS = None
 
     for a, b, name in zip(fine, dense, ("t", "kind", "idx")):
