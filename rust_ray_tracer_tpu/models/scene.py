@@ -842,13 +842,14 @@ def compile_scene(scene: Scene, seed: int = 0,
         # empty clusters (all-pad) keep inverted boxes (min > max); the
         # mask pre-pass rejects them explicitly (min <= max check in
         # ops/pallas_intersect._tile_cluster_mask)
-        # second hierarchy level: fine sub-cluster boxes. Two consumers:
-        # (a) the DEFAULT fine pair-list search grid for big packed
-        #     meshes (pallas_intersect._make_pair_kernel): each live
-        #     (tile, sub-box) pair becomes one small grid step, so the
-        #     sweep scales with boxes actually entered (~12 x 128 tris
-        #     per tile on the 1M-tri scene) instead of the cluster
-        #     survivor union (~113 x 2048);
+        # second hierarchy level: fine sub-cluster boxes. Two consumers,
+        # BOTH ablation-only (coarse cluster-block pairs are the default
+        # search grid at k >= PAIR_MIN_K):
+        # (a) the fine pair-list search grid (RRT_PAIR_FINE=1,
+        #     pallas_intersect._make_pair_kernel): each live
+        #     (tile, sub-box) pair becomes one small grid step —
+        #     measured LOSS vs coarse pairs on the 1M-tri scene
+        #     (fwd 948.0 vs 910.7 ms/wave, tools/r4_bigmesh_pair.py);
         # (b) the per-(tile, cluster) BITMASK gating sub-matmuls inside
         #     the dense grid — an ablation path only (RRT_SUB_W):
         #     measured REGRESSION on hardware (fwd 1437.0 ms/wave sub

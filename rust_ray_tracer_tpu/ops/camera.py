@@ -68,16 +68,22 @@ def pixel_id_for_position(pos, width: int, height: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _pixel_order_chunked(width: int, height: int, chunk_size: int):
+def _pixel_order_chunked(width: int, height: int, chunk_size: int,
+                         morton: bool = True):
     """[n_chunks, chunk_size] pixel ids along the Morton curve, the pad
     tail clamped to the last pixel (same values as
     ``pixel_id_for_position(min(pos, n-1))``). Indexing one row by a
     traced chunk id is a dynamic-slice, which on TPU costs ~5us vs
     ~65us for the equivalent 147k-row gather (round-4 suzanne trace:
-    fusion.146, camera.py:67 — one gather per chunk per wave)."""
+    fusion.146, camera.py:67 — one gather per chunk per wave).
+
+    ``morton`` mirrors the module global MORTON_CHUNKS and is part of
+    the cache key: the call site passes the flag's live value, so
+    toggling it can never serve a stale ordering that desyncs from
+    image_from_positions (which also reads it live)."""
     n = width * height
     n_chunks = -(-n // chunk_size)
-    if MORTON_CHUNKS:
+    if morton:
         perm, _ = _pixel_order(width, height)
     else:
         perm = np.arange(n, dtype=np.int32)
@@ -191,8 +197,8 @@ def camera_rays_for_chunk(cam: CameraData, wkey: jax.Array, chunk_id,
     """
     from rust_ray_tracer_tpu.utils import rng as rngu
 
-    pix = jnp.asarray(_pixel_order_chunked(width, height,
-                                           chunk_size))[chunk_id]
+    pix = jnp.asarray(_pixel_order_chunked(width, height, chunk_size,
+                                           MORTON_CHUNKS))[chunk_id]
     yy = (pix // width).astype(jnp.float32)
     xx = (pix % width).astype(jnp.float32)
     ckey = jax.random.fold_in(wkey, chunk_id)

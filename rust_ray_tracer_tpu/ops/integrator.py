@@ -194,9 +194,45 @@ def auto_compact(scene, threshold: float = 0.3) -> bool:
         mc = np.asarray(scene.med_c, np.float64)
         mr = np.asarray(scene.med_r, np.float64)
         kinds = np.asarray(scene.med_kind)
-        from rust_ray_tracer_tpu.models.scene import MED_SPHERE
+        from rust_ray_tracer_tpu.models.scene import (MED_MESH, MED_POLY,
+                                                      MED_SPHERE)
         for i in np.nonzero((kinds == MED_SPHERE) & (mr > 0))[0]:
             hit |= sphere_hit(mc[i], mr[i])
+        if scene.med_pl_n.shape[1]:
+            # convex-polytope boundaries: the same half-space interval
+            # test as _med_t, so a cuboid fog volume covering the frame
+            # counts toward occupancy
+            pn = np.asarray(scene.med_pl_n, np.float64)    # [M,P,3]
+            pd = np.asarray(scene.med_pl_d, np.float64)    # [M,P]
+            for i in np.nonzero(kinds == MED_POLY)[0]:
+                den = d @ pn[i].T                          # [R,P]
+                num = pd[i][None] - o @ pn[i].T
+                par = np.abs(den) < 1e-12
+                par_ok = (~par | (num >= 0)).all(1)
+                to = num / np.where(par, 1.0, den)
+                t1 = np.where(~par & (den < 0), to, -np.inf).max(1)
+                t2 = np.where(~par & (den > 0), to, np.inf).min(1)
+                hit |= par_ok & (t1 < t2) & np.isfinite(t2) & (t2 >= tmin)
+        if scene.med_tri.shape[1]:
+            # triangle-mesh boundaries: conservative AABB slab over the
+            # real (non-pad) triangles, mirroring the big-mesh branch
+            for i in np.nonzero(kinds == MED_MESH)[0]:
+                mt = np.asarray(scene.med_tri[i], np.float64)  # [Tm,10]
+                real = (np.abs(mt[:, 3:6]).sum(1)
+                        + np.abs(mt[:, 6:9]).sum(1)) > 0
+                if not real.any():
+                    continue
+                corners = np.stack(
+                    [mt[real, 0:3], mt[real, 0:3] + mt[real, 3:6],
+                     mt[real, 0:3] + mt[real, 6:9]], 1)
+                lo = corners.reshape(-1, 3).min(0)
+                hi = corners.reshape(-1, 3).max(0)
+                inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+                t0 = (lo[None] - o) * inv                  # [R,3]
+                t1 = (hi[None] - o) * inv
+                tn = np.minimum(t0, t1).max(1)
+                tf = np.maximum(t0, t1).min(1)
+                hit |= (tf >= np.maximum(tn, tmin)) & (tf >= tmin)
     if scene.n_quads:
         q = np.asarray(scene.quad_q, np.float64)
         u = np.asarray(scene.quad_u, np.float64)

@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-size", type=int, default=32768,
                    help="rays per wavefront chunk")
     p.add_argument("--compact", choices=("auto", "on", "off"),
-                   default="auto",
+                   nargs="?", const="on", default="auto",
                    help="bounce-major cross-chunk alive compaction: "
                         "'auto' (default) enables it when the scene "
                         "covers most of the camera frame (measured to "
