@@ -282,6 +282,38 @@ def auto_compact(scene, threshold: float = 0.3) -> bool:
     return float(hit.mean()) >= threshold
 
 
+def _trace_rays_uber(scene, o, d, time, key, depth: int, remat: bool):
+    """Plane-resident variant of :func:`trace_rays` for VMEM-resident
+    scenes (ops/pallas_uber): the carry stays in plane layout across the
+    whole bounce scan (one pack, one unpack per chunk) and each bounce
+    is threefry + ONE select kernel + ONE live-tile megakernel — the
+    per-bounce XLA machinery the round-4 roofline measured (gathers,
+    state transposes, mask-kernel dispatch) is gone. Same sampled
+    trajectories as the split pipeline (shared streams)."""
+    from rust_ray_tracer_tpu.ops import pallas_uber as pu
+
+    c = o.shape[0]
+    L = jnp.zeros((c, 3), o.dtype)
+    beta = jnp.ones((c, 3), o.dtype)
+    alive = jnp.ones((c,), bool)
+    st0, _ = pu.pack_state(o, d, time, L, beta, alive)
+    keys = jax.vmap(partial(rngu.bounce_key, key))(jnp.arange(depth))
+
+    def bounce(st, bkey):
+        return lax.cond(jnp.any(st[7] > 0.5),
+                        lambda s: pu.bounce_uber(scene, bkey, s),
+                        lambda s: s, st)
+
+    step = bounce
+    if remat:
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "isect_sel", "hit_attrs")
+        step = jax.checkpoint(bounce, policy=policy)
+
+    st, _ = lax.scan(lambda s, k: (step(s, k), None), st0, keys)
+    return pu.unpack_radiance(st, c)
+
+
 def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
                remat: bool = True):
     """Trace a chunk of rays to completion. Returns radiance [C,3].
@@ -292,6 +324,12 @@ def trace_rays(scene, o, d, time, key, depth: int = MAX_DEPTH,
     TPU backend blows up to many minutes. ``jax.checkpoint`` on the body
     keeps reverse-mode memory at one bounce.
     """
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+    from rust_ray_tracer_tpu.ops import pallas_uber as pu
+    from rust_ray_tracer_tpu.ops.intersect import _no_pallas
+
+    if pk.on_tpu() and not _no_pallas() and pu.uber_eligible(scene):
+        return _trace_rays_uber(scene, o, d, time, key, depth, remat)
     c = o.shape[0]
     L = jnp.zeros((c, 3), o.dtype)
     beta = jnp.ones((c, 3), o.dtype)

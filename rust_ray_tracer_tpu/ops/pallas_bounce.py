@@ -288,6 +288,171 @@ def _bp_bwd(res, g):
 _bounce_planes_call.defvjp(_bp_fwd, _bp_bwd)
 
 
+# ---- live-tile-gated megakernel (the uber-bounce path) -------------------
+#
+# Same plane core, but the grid prefetches a per-tile liveness list
+# (any alive lane among the tile's BR*128): dead tiles skip the whole
+# material/estimator evaluation and copy the carry state through —
+# the reference recursion pays nothing for dead paths (ray.rs:85-126);
+# here a dead tile costs one grid step + a 13-plane copy. BR is pinned
+# to 8 (the finest sublane granularity) so the skip granularity matches
+# ops/pallas_uber's select kernel.
+
+def _make_kernel_live(n_lights: int, has_checker: bool):
+    def kernel(tlive_ref, planes_ref, pkind_ref, mkind_ref, flags_ref,
+               lt_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(tlive_ref[i] > 0)
+        def _run():
+            out_ref[:] = _bounce_plane_core(
+                planes_ref[:], pkind_ref[:], mkind_ref[:], flags_ref[:],
+                _read_lt(lt_ref, n_lights + 1), n_lights, has_checker)
+
+        @pl.when(tlive_ref[i] == 0)
+        def _skip():
+            # all-dead tile: the core is the identity on state (every
+            # update is alive-masked) — copy o,d,L,beta through and
+            # alive (all zeros) verbatim
+            out_ref[0:6] = planes_ref[0:6]
+            out_ref[6:9] = planes_ref[24:27]
+            out_ref[9:12] = planes_ref[27:30]
+            out_ref[12:13] = planes_ref[45:46]
+
+    return kernel
+
+
+def _make_bwd_kernel_live(n_lights: int, has_checker: bool):
+    def kernel(tlive_ref, planes_ref, pkind_ref, mkind_ref, flags_ref,
+               lt_ref, g_ref, dpl_ref, dlt_ref):
+        i = pl.program_id(0)
+
+        @pl.when(tlive_ref[i] > 0)
+        def _run():
+            P = planes_ref[:]
+            pkind, mkind, flags = (pkind_ref[:], mkind_ref[:],
+                                   flags_ref[:])
+            lt = _read_lt(lt_ref, n_lights + 1)
+
+            def core(P_, lt_):
+                return _bounce_plane_core(P_, pkind, mkind, flags, lt_,
+                                          n_lights, has_checker)
+
+            _, vjp = jax.vjp(core, P, lt)
+            dP, dlt = vjp(g_ref[:])
+            dpl_ref[:] = dP
+            rows = n_lights + 1
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            for r in range(rows):
+                for j in range(LT_COLS):
+                    s = dlt[r][j]
+                    acc = acc + jnp.where(
+                        (rr == 0) & (cc == r * LT_COLS + j), s, 0.0)
+            dlt_ref[0] = acc
+
+        @pl.when(tlive_ref[i] == 0)
+        def _skip():
+            # vjp of the pass-through: state cotangents copy back, all
+            # other plane cotangents (incl. alive — the live branch's
+            # vjp also yields 0 there: it only feeds comparisons) are 0
+            dpl_ref[:] = jnp.zeros_like(dpl_ref)
+            dpl_ref[0:6] = g_ref[0:6]
+            dpl_ref[24:27] = g_ref[6:9]
+            dpl_ref[27:30] = g_ref[9:12]
+            dlt_ref[0] = jnp.zeros((8, LANES), jnp.float32)
+
+    return kernel
+
+
+_LIVE_BR = 8
+
+
+@jax.custom_vjp
+def bounce_planes_live(planes, pkind_p, mkind_p, flags_p, lt, tlive):
+    """Live-tile-gated ``_bounce_planes_call`` (see module docstring)."""
+    n_lights = lt.shape[0] - 1
+    n_in, cr = planes.shape[0], planes.shape[1]
+    br = _LIVE_BR
+    return pl.pallas_call(
+        _make_kernel_live(n_lights, n_in > N_IN_B),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cr // br,),
+            in_specs=[
+                pl.BlockSpec((n_in, br, LANES), lambda i, tl: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(lt.shape, lambda i, tl: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((N_OUT_B, br, LANES),
+                                   lambda i, tl: (0, i, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((N_OUT_B, cr, LANES), jnp.float32),
+        interpret=_pi.INTERPRET,
+    )(tlive, planes, pkind_p, mkind_p, flags_p, lt)
+
+
+def _bpl_fwd(planes, pkind_p, mkind_p, flags_p, lt, tlive):
+    out = bounce_planes_live(planes, pkind_p, mkind_p, flags_p, lt, tlive)
+    return out, (planes, pkind_p, mkind_p, flags_p, lt, tlive)
+
+
+def _bpl_bwd(res, g):
+    planes, pkind_p, mkind_p, flags_p, lt, tlive = res
+    n_lights = lt.shape[0] - 1
+    n_in, cr = planes.shape[0], planes.shape[1]
+    br = _LIVE_BR
+    dpl, dlt = pl.pallas_call(
+        _make_bwd_kernel_live(n_lights, n_in > N_IN_B),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cr // br,),
+            in_specs=[
+                pl.BlockSpec((n_in, br, LANES), lambda i, tl: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(lt.shape, lambda i, tl: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((N_OUT_B, br, LANES),
+                             lambda i, tl: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_in, br, LANES), lambda i, tl: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, LANES), lambda i, tl: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_in, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cr // br, 8, LANES), jnp.float32),
+        ],
+        interpret=_pi.INTERPRET,
+    )(tlive, planes, pkind_p, mkind_p, flags_p, lt, g)
+    rows = lt.shape[0]
+    d_lt = dlt[:, 0, :rows * LT_COLS].sum(0).reshape(rows, LT_COLS)
+    import numpy as np
+    zk = np.zeros(jnp.shape(pkind_p), jax.dtypes.float0)
+    zt = np.zeros(jnp.shape(tlive), jax.dtypes.float0)
+    return (dpl, zk, zk, zk, d_lt, zt)
+
+
+bounce_planes_live.defvjp(_bpl_fwd, _bpl_bwd)
+
+
 # ---- shade+update fused kernel (scenes the full megakernel can't take) ----
 #
 # Noise/image textures need table gathers the kernel can't do, so those

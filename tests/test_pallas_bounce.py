@@ -20,7 +20,11 @@ from rust_ray_tracer_tpu.ops.integrator import render_waves
 
 
 @pytest.fixture(autouse=True)
-def interpret_mode():
+def interpret_mode(monkeypatch):
+    # RRT_NO_UBER pins these tests to the split-megakernel path (the
+    # uber bounce would otherwise take over on eligible scenes; it has
+    # its own parity suite, tests/test_uber.py)
+    monkeypatch.setenv("RRT_NO_UBER", "1")
     pim.INTERPRET = True
     yield
     pim.INTERPRET = False

@@ -1,0 +1,225 @@
+"""Uber bounce (plane-resident carry + one-kernel phase 1) vs the split
+XLA pipeline (interpret mode).
+
+The uber path shares the split path's threefry streams and fold/tie
+rules, so both backends follow identical sampled trajectories and the
+comparison is direct (fp-reassociation-level tolerances only) — the
+same contract as tests/test_pallas_bounce.py for the megakernel and
+tools/verify_pallas_parity.py on hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rust_ray_tracer_tpu.models import scene as S
+from rust_ray_tracer_tpu.models.scene import compile_scene, partition, combine
+from rust_ray_tracer_tpu.ops import pallas_bounce as pb
+from rust_ray_tracer_tpu.ops import pallas_intersect as pim
+from rust_ray_tracer_tpu.ops import pallas_uber as pu
+from rust_ray_tracer_tpu.ops.camera import make_camera
+from rust_ray_tracer_tpu.ops.integrator import render_waves
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pim.INTERPRET = True
+    yield
+    pim.INTERPRET = False
+
+
+def solid_scene():
+    """Triangles + spheres + quads + a light — uber-eligible (the
+    test_pallas_bounce solid scene, no medium)."""
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    world = [
+        S.Sphere((0, 0, -4), 1.0, S.Lambertian.from_rgb(0.5, 0.4, 0.3)),
+        S.Sphere((-2.2, 0, -4), 1.0, S.Dielectric(1.5)),
+        S.Sphere((2.2, 0, -4), 1.0, S.Metal((0.9, 0.8, 0.7), 0.2)),
+        S.Triangle((-3, -1.2, -2), (3, -1.2, -2), (0, -1.2, -8),
+                   S.Lambertian.from_rgb(0.7, 0.7, 0.7),
+                   double_sided=True),
+        S.XZRect(-1.0, 1.0, -5.0, -3.0, 3.0,
+                 S.DiffuseLight.from_color((5, 5, 5))),
+    ]
+    return compile_scene(S.Scene(cam, world, [world[-1]], (0.2, 0.3, 0.5)))
+
+
+def checker_scene():
+    """random-scene shape: checker ground + solid/moving spheres."""
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    return compile_scene(S.Scene(cam, [
+        S.Sphere((0, -101, -4), 100.0,
+                 S.Lambertian(S.Checker.from_colors((0.9, 0.1, 0.1),
+                                                    (0.1, 0.9, 0.1)))),
+        S.Sphere((0, 0, -4), 1.0, S.Lambertian.from_rgb(0.5, 0.4, 0.3)),
+        S.Sphere((-2.2, 0, -4), 1.0, S.Metal((0.8, 0.8, 0.9), 0.1)),
+        S.MovingSphere((2.2, 0, -4), (2.4, 0.2, -4), 0.0, 1.0, 1.0,
+                       S.Dielectric(1.5)),
+    ], [], (0.7, 0.8, 1.0)))
+
+
+def quad_scene():
+    """Cornell-ish: quads only, emissive light, no background."""
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    world = [
+        S.XZRect(-2.0, 2.0, -6.0, -2.0, -2.0,
+                 S.Lambertian.from_rgb(0.73, 0.73, 0.73)),
+        S.YZRect(-2.0, 2.0, -6.0, -2.0, -2.0,
+                 S.Lambertian.from_rgb(0.12, 0.45, 0.15)),
+        S.YZRect(-2.0, 2.0, -6.0, -2.0, 2.0,
+                 S.Lambertian.from_rgb(0.65, 0.05, 0.05)),
+        S.XYRect(-2.0, 2.0, -2.0, 2.0, -6.0,
+                 S.Lambertian.from_rgb(0.73, 0.73, 0.73)),
+        S.FlipFace(S.XZRect(-0.8, 0.8, -4.8, -3.2, 2.0,
+                            S.DiffuseLight.from_color((7, 7, 7)))),
+    ]
+    return compile_scene(S.Scene(cam, world, [world[-1]], (0.0, 0.0, 0.0)))
+
+
+def _render(sd, key, mode: str, w=32, h=24, spp=2, chunk=256):
+    """mode: 'xla' (split pipeline), 'mega' (split kernels + bounce
+    megakernel), 'uber' (plane carry + one-kernel phase 1)."""
+    import os
+
+    real_on_tpu = pim.on_tpu
+    if mode != "xla":
+        pim.on_tpu = lambda: True
+    if mode == "mega":
+        os.environ["RRT_NO_UBER"] = "1"
+    elif mode == "uber":
+        assert pu.uber_eligible(sd)
+    try:
+        return render_waves(sd, w, h, key, 0, spp, chunk_size=chunk)
+    finally:
+        pim.on_tpu = real_on_tpu
+        os.environ.pop("RRT_NO_UBER", None)
+
+
+@pytest.mark.parametrize("make", [solid_scene, checker_scene, quad_scene])
+def test_uber_forward_matches_split(make):
+    sd = make()
+    key = jax.random.PRNGKey(7)
+    ref = np.asarray(_render(sd, key, "xla"))
+    mega = np.asarray(_render(sd, key, "mega"))
+    got = np.asarray(_render(sd, key, "uber"))
+    assert np.isfinite(got).all()
+    # the uber path reproduces the megakernel pipeline to a few ulp:
+    # identical phase-1 folds, identical plane core, shared streams —
+    # only XLA's fusion of the surrounding graph (camera rays, wave
+    # accumulation) may reassociate (the documented drift class in
+    # parallel/render.py)
+    np.testing.assert_allclose(got, mega, rtol=2e-6, atol=2e-6)
+    # vs the XLA split path: the documented fused-vs-XLA parity class —
+    # fp-reassociation drift plus (rarely) an isolated near-tie pixel
+    # flip (the hardware gate budgets the same way)
+    flips = (np.abs(got - ref) > 1e-3).any(-1)
+    assert flips.mean() <= 0.005, flips.sum()
+    np.testing.assert_allclose(np.where(flips[..., None], ref, got), ref,
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_uber_odd_chunk_padding():
+    """Chunk sizes that don't fill 8x128 tiles pad with dead lanes."""
+    sd = solid_scene()
+    key = jax.random.PRNGKey(19)
+    ref = np.asarray(_render(sd, key, "mega", chunk=192))
+    got = np.asarray(_render(sd, key, "uber", chunk=192))
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_uber_grads_match():
+    """Scene-parameter gradients through the uber path (one-hot fetch
+    scatter VJP + live-gated megakernel backward) equal the split
+    pipeline's."""
+    sd = solid_scene()
+    key = jax.random.PRNGKey(11)
+    diff, static = partition(sd)
+
+    def loss(diff):
+        img = render_waves(combine(diff, static), 16, 12, key, 0, 1,
+                           chunk_size=192)
+        return jnp.mean(img)
+
+    real_on_tpu = pim.on_tpu
+    g_ref = jax.grad(loss)(diff)
+    pim.on_tpu = lambda: True
+    try:
+        g_got = jax.grad(loss)(diff)
+    finally:
+        pim.on_tpu = real_on_tpu
+
+    checked = nonzero = 0
+    for name in ("tex_color", "sph_c0", "sph_r", "tri_v0", "quad_q",
+                 "mat_fuzz", "mat_ior", "background", "light_q",
+                 "light_u", "light_v"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_got, name))
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6,
+                                   err_msg=name)
+        checked += 1
+        nonzero += bool((a != 0).any())
+    assert checked and nonzero >= 4
+
+
+def test_uber_checker_grads():
+    sd = checker_scene()
+    key = jax.random.PRNGKey(5)
+    diff, static = partition(sd)
+
+    def loss(diff):
+        img = render_waves(combine(diff, static), 16, 12, key, 0, 1,
+                           chunk_size=192)
+        return jnp.mean(img)
+
+    real_on_tpu = pim.on_tpu
+    g_ref = jax.grad(loss)(diff)
+    pim.on_tpu = lambda: True
+    try:
+        g_got = jax.grad(loss)(diff)
+    finally:
+        pim.on_tpu = real_on_tpu
+    for name in ("tex_color", "sph_c0", "sph_r", "background"):
+        np.testing.assert_allclose(np.asarray(getattr(g_got, name)),
+                                   np.asarray(getattr(g_ref, name)),
+                                   rtol=5e-4, atol=1e-6, err_msg=name)
+    assert (np.asarray(g_ref.tex_color) != 0).any()
+
+
+def test_uber_eligibility_gate(monkeypatch):
+    assert pu.uber_eligible(solid_scene())
+    assert pu.uber_eligible(checker_scene())
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    # media -> ineligible (free-flight sampling stays on the split path)
+    med = compile_scene(S.Scene(cam, [
+        S.Sphere((0, 0, -4), 1.0, S.Lambertian.from_rgb(0.5, 0.4, 0.3)),
+        S.ConstantMedium.from_color(
+            S.Sphere((0, 0, -4), 2.0, S.Dielectric(1.5)), 0.5,
+            (0.9, 0.9, 0.9)),
+    ], [], (0.2, 0.3, 0.5)))
+    assert not pu.uber_eligible(med)
+    # noise texture -> ineligible (megakernel gate)
+    noise = compile_scene(S.Scene(cam, [
+        S.Sphere((0, 0, -4), 1.0, S.Lambertian(S.Noise(4.0))),
+    ], [], (0.1, 0.1, 0.1)))
+    assert not pu.uber_eligible(noise)
+    monkeypatch.setenv("RRT_NO_UBER", "1")
+    assert not pu.uber_eligible(solid_scene())
+
+
+def test_uber_live_tile_skip_exact():
+    """A chunk whose later-bounce tiles are mostly dead must render
+    identically to the split path (the dead-tile pass-through is the
+    identity, values and gradients)."""
+    # tiny scene covering little of the frame: most primaries miss and
+    # die at bounce 0, exercising the tlive==0 branch heavily
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    world = [
+        S.Sphere((0, 0, -30), 1.0, S.Lambertian.from_rgb(0.5, 0.4, 0.3)),
+    ]
+    sd = compile_scene(S.Scene(cam, world, [], (0.3, 0.4, 0.5)))
+    key = jax.random.PRNGKey(2)
+    ref = np.asarray(_render(sd, key, "mega", w=64, h=32, chunk=1024))
+    got = np.asarray(_render(sd, key, "uber", w=64, h=32, chunk=1024))
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
