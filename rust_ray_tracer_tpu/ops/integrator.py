@@ -298,10 +298,11 @@ def _trace_rays_uber(scene, o, d, time, key, depth: int, remat: bool):
     alive = jnp.ones((c,), bool)
     st0, _ = pu.pack_state(o, d, time, L, beta, alive)
     keys = jax.vmap(partial(rngu.bounce_key, key))(jnp.arange(depth))
+    ctx = pu.make_ctx(scene)   # scan-invariant: built once, not per bounce
 
     def bounce(st, bkey):
         return lax.cond(jnp.any(st[7] > 0.5),
-                        lambda s: pu.bounce_uber(scene, bkey, s),
+                        lambda s: pu.bounce_uber(scene, bkey, s, ctx=ctx),
                         lambda s: s, st)
 
     step = bounce

@@ -347,20 +347,33 @@ def _select_impl(cfg, tlive, st, uni, dflt, det_t, u_t, v_t, t_t,
     )(tlive, st, uni, dflt, det_t, u_t, v_t, t_t, dbl_t, sph, quad)
 
 
+def _name_select(out):
+    """checkpoint-name the select outputs so the remat policy
+    (save_only_these_names in ops/integrator) keeps them. Applied
+    INSIDE the custom_vjp fwd so the vjp residuals are the NAMED
+    tensors — naming after the call leaves the residual vars unnamed
+    and the backward recompute re-runs the whole kernel (measured:
+    8.1 ms/wave of duplicated select on suzanne, r5 step trace)."""
+    selv, kind, idx = out
+    return (checkpoint_name(selv, "hit_attrs"),
+            checkpoint_name(kind, "isect_sel"),
+            checkpoint_name(idx, "isect_sel"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _select_call(cfg, tlive, st, uni, dflt, det_t, u_t, v_t, t_t,
                  dbl_t, sph, quad):
     """One-kernel phase 1. Differentiable ONLY w.r.t. ``uni`` (the
     winner-table rows); the selection itself and the search tables are
     detached by design (ops/intersect.py module docstring)."""
-    return _select_impl(cfg, tlive, st, uni, dflt, det_t, u_t, v_t,
-                        t_t, dbl_t, sph, quad)
+    return _name_select(_select_impl(cfg, tlive, st, uni, dflt, det_t,
+                                     u_t, v_t, t_t, dbl_t, sph, quad))
 
 
 def _select_fwd(cfg, tlive, st, uni, dflt, det_t, u_t, v_t, t_t,
                 dbl_t, sph, quad):
-    out = _select_impl(cfg, tlive, st, uni, dflt, det_t, u_t, v_t, t_t,
-                       dbl_t, sph, quad)
+    out = _name_select(_select_impl(cfg, tlive, st, uni, dflt, det_t,
+                                    u_t, v_t, t_t, dbl_t, sph, quad))
     selv, kind, idx = out
     return out, (kind, idx)
 
@@ -529,7 +542,30 @@ def _search_tables(scene_s):
     return det_t, u_t, v_t, t_t, dbl_t, sph, quad
 
 
-def bounce_uber(scene, bkey, st, rand=None):
+def make_ctx(scene):
+    """Scene-derived tables for :func:`bounce_uber`, built ONCE per
+    trace. Building them inside the bounce scan body re-runs the
+    Plücker coeff cross products + table concats EVERY bounce — XLA
+    does not hoist them out of the scan/cond (measured: 4.3 ms/wave
+    fwd, ~9.8 ms/wave step on suzanne, r5 trace). ``uni`` stays in the
+    autodiff graph (differentiable w.r.t. scene); the search tables are
+    detached."""
+    from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS, _light_table
+
+    uni, dflt, offs = _scene_tables(scene)
+    scene_s = jax.tree.map(
+        lambda x: lax.stop_gradient(x) if isinstance(x, jnp.ndarray)
+        else x, scene)
+    search = _search_tables(scene_s)
+    lt = jnp.concatenate(
+        [_light_table(scene) if scene.n_lights
+         else jnp.zeros((0, LT_COLS), jnp.float32),
+         jnp.pad(scene.background[None, :], ((0, 0), (0, LT_COLS - 3)))],
+        axis=0)
+    return uni, dflt, offs, search, lt
+
+
+def bounce_uber(scene, bkey, st, rand=None, ctx=None):
     """One full wavefront bounce on plane-resident state.
 
     ``st`` [N_STATE, CR, 128]; returns the next ``st``. Threefry streams
@@ -544,13 +580,13 @@ def bounce_uber(scene, bkey, st, rand=None):
                                                    MATTR_ISCHK,
                                                    MATTR_MKIND,
                                                    MATTR_ODD)
-    from rust_ray_tracer_tpu.ops.pallas_shade import (LT_COLS,
-                                                      _light_table)
 
     f32 = st.dtype
     cr = st.shape[1]
     c = cr * LANES
     has_checker = scene.tex_even.shape[0] > 0
+    if ctx is None:
+        ctx = make_ctx(scene)
 
     # ---- the bounce's random budget (identical streams to shade()) ----
     if rand is None:
@@ -573,11 +609,8 @@ def bounce_uber(scene, bkey, st, rand=None):
     alive = st[7]
     tlive = jnp.any(alive.reshape(cr // BR, BR, LANES) > 0.5,
                     axis=(1, 2)).astype(jnp.int32)
-    uni, dflt, (t_off, s_off, q_off) = _scene_tables(scene)
-    scene_s = jax.tree.map(
-        lambda x: lax.stop_gradient(x) if isinstance(x, jnp.ndarray)
-        else x, scene)
-    det_t, u_t, v_t, t_t, dbl_t, sph, quad = _search_tables(scene_s)
+    uni, dflt, (t_off, s_off, q_off), search, lt = ctx
+    det_t, u_t, v_t, t_t, dbl_t, sph, quad = search
     st8 = lax.stop_gradient(st[0:N_ST])
     cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,
            scene.quad_q.shape[0] > 0, t_off, s_off, q_off,
@@ -586,8 +619,6 @@ def bounce_uber(scene, bkey, st, rand=None):
            tuple(quad.shape), tuple(tlive.shape))
     selv, kindp, idxp = _select_call(cfg, tlive, st8, uni, dflt, det_t,
                                      u_t, v_t, t_t, dbl_t, sph, quad)
-    selv = checkpoint_name(selv, "hit_attrs")
-    kindp = checkpoint_name(kindp, "isect_sel")
 
     # ---- megakernel planes (pallas_bounce layout) ----
     A = 11  # uni column where the material-attr block starts
@@ -614,12 +645,6 @@ def bounce_uber(scene, bkey, st, rand=None):
                          << 1)
     planes = jnp.concatenate(planes, axis=0)
     mkind = selv[A + MATTR_MKIND].astype(jnp.int32)
-
-    lt = jnp.concatenate(
-        [_light_table(scene) if scene.n_lights
-         else jnp.zeros((0, LT_COLS), jnp.float32),
-         jnp.pad(scene.background[None, :], ((0, 0), (0, LT_COLS - 3)))],
-        axis=0)
 
     out = pb.bounce_planes_live(planes, kindp, mkind, flags, lt, tlive)
     # out: [13, CR, 128] = o'(3) d'(3) L'(3) beta'(3) alive'
