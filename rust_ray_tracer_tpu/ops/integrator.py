@@ -300,10 +300,32 @@ def _trace_rays_uber(scene, o, d, time, key, depth: int, remat: bool):
     keys = jax.vmap(partial(rngu.bounce_key, key))(jnp.arange(depth))
     ctx = pu.make_ctx(scene)   # scan-invariant: built once, not per bounce
 
-    def bounce(st, bkey):
-        return lax.cond(jnp.any(st[7] > 0.5),
-                        lambda s: pu.bounce_uber(scene, bkey, s, ctx=ctx),
-                        lambda s: s, st)
+    xs = keys
+    if os.environ.get("RRT_UBER_XRND", "") == "1":
+        # hoist the bounce randoms out of the scan: one batched threefry
+        # before the loop, materialized [depth, C, 9+6] — SAME streams
+        # (the rand= path of bounce_uber), fewer ops per scan iteration.
+        def draw(bk):
+            ub = jax.random.uniform(rngu.stream(bk, rngu.SCATTER),
+                                    (c, 9), dtype=o.dtype)
+            gb = jax.random.normal(rngu.stream(bk, rngu.FUZZ),
+                                   (c, 6), dtype=o.dtype)
+            return ub, gb
+        xs = (keys, jax.vmap(draw)(keys))
+
+        def bounce(st, x):
+            bkey, rand = x
+            return lax.cond(
+                jnp.any(st[7] > 0.5),
+                lambda s: pu.bounce_uber(scene, bkey, s, rand=rand,
+                                         ctx=ctx),
+                lambda s: s, st)
+    else:
+        def bounce(st, bkey):
+            return lax.cond(
+                jnp.any(st[7] > 0.5),
+                lambda s: pu.bounce_uber(scene, bkey, s, ctx=ctx),
+                lambda s: s, st)
 
     step = bounce
     if remat:
@@ -311,7 +333,7 @@ def _trace_rays_uber(scene, o, d, time, key, depth: int, remat: bool):
             "isect_sel", "hit_attrs")
         step = jax.checkpoint(bounce, policy=policy)
 
-    st, _ = lax.scan(lambda s, k: (step(s, k), None), st0, keys)
+    st, _ = lax.scan(lambda s, k: (step(s, k), None), st0, xs)
     return pu.unpack_radiance(st, c)
 
 

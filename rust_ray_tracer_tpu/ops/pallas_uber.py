@@ -63,6 +63,7 @@ N_ST = 8                # select-kernel state planes: o(3) d(3) time alive
 N_STATE = 14
 ROWS_MAX = 4096         # eligibility: total winner-table rows
 TC = 1024               # triangle rows per in-kernel sweep chunk
+TCC = 512               # tri rows per CULLED sweep chunk (fused kernel)
 SC = 512                # sphere rows per chunk
 QC = 512                # quad rows per chunk
 PC = 1024               # winner-table rows per one-hot chunk
@@ -83,30 +84,42 @@ def _dot_onehot(table, mask):
                            preferred_element_type=jnp.float32)
 
 
-def _min_with_index(tt, off):
+def _min_with_index(tt, off, base=0):
     """Per-lane (min t, lowest row index attaining it) over axis 0.
 
-    ``tt`` [R, 128]; returns ([1,128], [1,128] f32 index + off). Index
-    arithmetic rides f32 (exact below 2^24; ROWS_MAX bounds it) because
-    Mosaic's cross-sublane reductions are safest in f32. Matches
-    ``jnp.argmin`` (first minimum) for every finite min; when the min is
-    inf the index is garbage and the caller's fold ignores it.
+    ``tt`` [R, 128]; returns ([1,128], [1,128] f32 index + off + base).
+    ``off`` is a static int; ``base`` may be a TRACED row offset (the
+    fori_loop culled sweep). Index arithmetic rides f32 (exact below
+    2^24; ROWS_MAX bounds it) because Mosaic's cross-sublane reductions
+    are safest in f32. Matches ``jnp.argmin`` (first minimum) for every
+    finite min; when the min is inf the index is garbage and the
+    caller's fold ignores it.
     """
     loc_t = jnp.min(tt, axis=0, keepdims=True)
     # int32 iota cast to f32 (Mosaic's tpu.iota is integer-only)
     ii = (lax.broadcasted_iota(jnp.int32, tt.shape, 0)
           .astype(jnp.float32) + float(off))
+    if not (isinstance(base, int) and base == 0):
+        ii = ii + jnp.asarray(base, jnp.float32)
     loc_i = jnp.min(jnp.where(tt == loc_t, ii, _BIGF), axis=0,
                     keepdims=True)
     return loc_t, loc_i
 
 
 def _search_row(P, r, cfg, uni_ref, det_ref, u_ref, v_ref, t_ref,
-                dbl_ref, sph_ref, quad_ref, dflt_tile):
+                dbl_ref, sph_ref, quad_ref, dflt_tile, cab=None):
     """Phase 1 for ray row ``r`` (128 lanes) of a tile.
 
     Returns (sel [W,128] winner-row values, kind [1,128] f32,
     idx [1,128] f32 global winner-table row).
+
+    ``cab`` (optional, the fused path): per-triangle-chunk AABB rows
+    [n_chunks, 8] = (lo3, hi3, pad2) over the Morton-ordered triangle
+    table at :data:`TCC` grain — each chunk's 4 MXU contractions run
+    under ``lax.cond`` on a slab any-hit of the row's 128 rays, so a
+    row whose rays miss a chunk's box pays ~20 VPU ops instead of the
+    sweep (the device realization of the reference's per-ray BVH
+    pruning, geometry/mod.rs:137-153, at row x chunk granularity).
     """
     (has_tri, has_sph, has_quad, t_off, s_off, q_off) = cfg[:6]
     from rust_ray_tracer_tpu.ops.intersect import (KIND_QUAD, KIND_SPH,
@@ -138,13 +151,16 @@ def _search_row(P, r, cfg, uni_ref, det_ref, u_ref, v_ref, t_ref,
         dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)    # [1, 128]
         eps = TRI_DET_EPS * dn
         tp = det_ref.shape[0]
-        for c0 in range(0, tp, TC):
-            tc = min(TC, tp - c0)
-            dm = _dot_tn(det_ref[c0:c0 + tc, :], f)   # [tc, 128]
-            um = _dot_tn(u_ref[c0:c0 + tc, :], f)
-            vm = _dot_tn(v_ref[c0:c0 + tc, :], f)
-            tm = _dot_tn(t_ref[c0:c0 + tc, :], f)
-            dbl = dbl_ref[c0:c0 + tc, :]              # [tc, 1]
+
+        def sweep(best, c0, tc):
+            """Fold tri rows [c0, c0+tc) — c0 may be traced (dslice)."""
+            bt, bk, bi = best
+            sl = (pl.dslice(c0, tc), slice(None))
+            dm = _dot_tn(det_ref[sl], f)              # [tc, 128]
+            um = _dot_tn(u_ref[sl], f)
+            vm = _dot_tn(v_ref[sl], f)
+            tm = _dot_tn(t_ref[sl], f)
+            dbl = dbl_ref[sl]                         # [tc, 1]
             safe = jnp.where(jnp.abs(dm) > eps, dm, 1.0)
             inv = 1.0 / safe
             u = um * inv
@@ -155,15 +171,52 @@ def _search_row(P, r, cfg, uni_ref, det_ref, u_ref, v_ref, t_ref,
                      & (v >= 0.0) & (v < 1.0 - u)
                      & (t >= tmin) & (t <= tmax))
             tt = jnp.where(valid, t, jnp.inf)
-            loc_t, loc_i = _min_with_index(tt, t_off + c0)
-            # lexicographic (t, index): ascending-id sweep == the dense
-            # kernel's front-to-back + lexicographic fold (both resolve
-            # equal t to the lowest global triangle id)
-            better = (loc_t < best_t) | ((loc_t == best_t)
-                                         & (loc_i < best_i))
-            best_i = jnp.where(better, loc_i, best_i)
-            best_k = jnp.where(better, float(KIND_TRI), best_k)
-            best_t = jnp.where(better, loc_t, best_t)
+            loc_t, loc_i = _min_with_index(tt, t_off, base=c0)
+            # lexicographic (t, index): ascending-id sweep == the
+            # dense kernel's front-to-back + lexicographic fold
+            # (both resolve equal t to the lowest global tri id)
+            better = (loc_t < bt) | ((loc_t == bt) & (loc_i < bi))
+            return (jnp.where(better, loc_t, bt),
+                    jnp.where(better, float(KIND_TRI), bk),
+                    jnp.where(better, loc_i, bi))
+
+        if cab is None:
+            for c0 in range(0, tp, TC):
+                best_t, best_k, best_i = sweep(
+                    (best_t, best_k, best_i), c0, min(TC, tp - c0))
+        else:
+            # per-(row, chunk) AABB cull: slab-test ingredients shared
+            # across chunks (safe inverse: |d|<1e-30 -> huge same-sign
+            # t's -> correct in/out call for axis-parallel rays, the
+            # occupancy-probe convention, ops/integrator.auto_compact)
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
+            amask = alive > 0.5
+
+            def chunk_body(ci, best):
+                t0x = (cab[ci, 0] - ox) * inv_dx
+                t1x = (cab[ci, 3] - ox) * inv_dx
+                t0y = (cab[ci, 1] - oy) * inv_dy
+                t1y = (cab[ci, 4] - oy) * inv_dy
+                t0z = (cab[ci, 2] - oz) * inv_dz
+                t1z = (cab[ci, 5] - oz) * inv_dz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                hit = (tf >= tn) & amask              # [1, 128]
+                anyhit = jnp.max(
+                    jnp.where(hit, 1.0, 0.0)) > 0.0
+                return lax.cond(anyhit,
+                                lambda b: sweep(b, ci * TCC, TCC),
+                                lambda b: b, best)
+
+            best_t, best_k, best_i = lax.fori_loop(
+                0, tp // TCC, chunk_body, (best_t, best_k, best_i))
 
     def fold_strict(best, loc_t, loc_i, kindv):
         bt, bk, bi = best
@@ -402,6 +455,361 @@ _select_call.defvjp(_select_fwd, _select_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fully fused bounce: search + phase 2 + shade + update in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The round-5 trace of the two-kernel uber path showed the bounce now
+# dominated by (a) the uncullled search sweep (223us/call — every live
+# tile sweeps EVERY triangle), (b) the d_uni scatter-add in the backward
+# (~2.9 ms/wave of XLA scatter), (c) ~6 ms/wave of device idle between
+# the many small per-bounce ops. This path attacks all three:
+#   * ONE kernel per bounce: the select epilogue feeds the megakernel
+#     core in registers — no selv HBM round-trip, no 52-plane XLA
+#     concat, two dispatch points fewer per bounce.
+#   * per-ROW alive skip (93% of suzanne's lanes are dead from bounce 1)
+#     and per-(row, tri-chunk) AABB culls under lax.cond — the
+#     reference recursion's pay-only-for-live-paths property
+#     (ray.rs:85-126) at 128-lane granularity, plus its BVH pruning
+#     (geometry/mod.rs:137-153) at row x Morton-chunk granularity.
+#   * the backward accumulates d_uni IN-KERNEL with one-hot MXU
+#     contractions into a revisited [P, W] block — the XLA scatter-add
+#     is gone.
+# Streams, fold rules and the estimator update are bit-identical to the
+# two-kernel path (same _search_row, same _bounce_plane_core).
+
+def _tile_core(st_t, rnd_t, selv, pkind, lt, n_lights, has_checker):
+    """Megakernel core on one tile, fed from select values in registers.
+
+    st_t [N_STATE, BR, L] carry planes; rnd_t [15, BR, L]; selv
+    [W, BR, L] winner rows (miss lanes already defaulted); pkind
+    [BR, L] int32. Returns the next carry tile [N_STATE, BR, L].
+    Mirrors bounce_uber's plane assembly exactly (pallas_bounce layout).
+    """
+    from rust_ray_tracer_tpu.ops.intersect import (MATTR_ALBEDO,
+                                                   MATTR_EVEN,
+                                                   MATTR_FUZZ,
+                                                   MATTR_IOR,
+                                                   MATTR_ISCHK,
+                                                   MATTR_MKIND,
+                                                   MATTR_ODD)
+    from rust_ray_tracer_tpu.ops.pallas_bounce import _bounce_plane_core
+
+    A = 11  # uni column where the material-attr block starts
+    tminp = jnp.full_like(st_t[0:1], T_MIN)
+    tmaxp = jnp.where(st_t[7:8] > 0.5, jnp.inf, -1.0)
+    parts = [st_t[0:7],                    # o, d, time
+             tminp, tmaxp,
+             selv[0:9],                    # winner pack
+             jnp.zeros_like(st_t[0:1]),    # t_med (no media here)
+             selv[A + MATTR_ALBEDO.start:A + MATTR_ALBEDO.stop],
+             selv[A + MATTR_FUZZ:A + MATTR_FUZZ + 1],
+             selv[A + MATTR_IOR:A + MATTR_IOR + 1],
+             st_t[8:14],                   # L, beta
+             rnd_t,                        # ub(9), gb(6)
+             st_t[7:8]]                    # alive
+    flags = (selv[9] > 0.5).astype(jnp.int32)
+    if has_checker:
+        parts += [selv[A + MATTR_EVEN.start:A + MATTR_EVEN.stop],
+                  selv[A + MATTR_ODD.start:A + MATTR_ODD.stop]]
+        flags = flags | ((selv[A + MATTR_ISCHK] > 0.5).astype(jnp.int32)
+                         << 1)
+    P = jnp.concatenate(parts, axis=0)
+    mkind = selv[A + MATTR_MKIND].astype(jnp.int32)
+    out = _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
+                             has_checker)
+    return jnp.concatenate([out[0:6], st_t[6:7], out[12:13], out[6:9],
+                            out[9:12]], axis=0)
+
+
+def _rebuild_row(uni_ref, bi, found, dflt_tile):
+    """One-hot winner-row fetch for the backward rebuild — identical
+    arithmetic to _search_row's epilogue, so selv is reconstructed
+    bit-exactly from the saved (kind, idx) residuals."""
+    w = uni_ref.shape[1]
+    pu_ = uni_ref.shape[0]
+    bi = jnp.where(found, bi, 0.0)
+    sel = jnp.zeros((w, LANES), jnp.float32)
+    for p0 in range(0, pu_, PC):
+        pc = min(PC, pu_ - p0)
+        iif = (lax.broadcasted_iota(jnp.int32, (pc, LANES), 0)
+               .astype(jnp.float32) + float(p0))
+        m = (iif == bi).astype(jnp.float32)
+        sel = sel + _dot_onehot(uni_ref[p0:p0 + pc, :], m)
+    return jnp.where(jnp.broadcast_to(found, (w, LANES)), sel, dflt_tile)
+
+
+def _make_fused_kernel(cfg, w, n_lights, has_checker):
+    def kernel(tlive_ref, st_ref, rnd_ref, uni_ref, dflt_ref, det_ref,
+               u_ref, v_ref, t_ref, dbl_ref, sph_ref, quad_ref, cab_ref,
+               lt_ref, out_ref, kind_ref, idx_ref, selv_ref):
+        i = pl.program_id(0)
+
+        @pl.when(tlive_ref[i] == 0)
+        def _dead():
+            out_ref[:] = st_ref[:]
+            kind_ref[:] = jnp.zeros_like(kind_ref)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
+
+        @pl.when(tlive_ref[i] > 0)
+        def _live():
+            P = st_ref[:]
+            dt = jnp.concatenate(
+                [jnp.full((1, LANES), dflt_ref[0, c]) for c in range(w)],
+                axis=0)                               # [w, 128]
+            # defaults first, then live rows overwrite (one cond/row)
+            selv_ref[:] = jnp.broadcast_to(dt[:, None, :],
+                                           (w, BR, LANES))
+            kind_ref[:] = jnp.zeros((BR, LANES), jnp.int32)
+            idx_ref[:] = jnp.zeros((BR, LANES), jnp.int32)
+            for r in range(BR):
+                row_alive = jnp.max(P[7:8, r, :]) > 0.5
+
+                @pl.when(row_alive)
+                def _row(r=r):
+                    sel, bk, bi = _search_row(
+                        P, r, cfg, uni_ref, det_ref, u_ref, v_ref,
+                        t_ref, dbl_ref, sph_ref, quad_ref, dt,
+                        cab=cab_ref)
+                    selv_ref[:, r:r + 1, :] = sel[:, None, :]
+                    kind_ref[r:r + 1, :] = bk.astype(jnp.int32)
+                    idx_ref[r:r + 1, :] = bi.astype(jnp.int32)
+
+            out_ref[:] = _tile_core(P, rnd_ref[:], selv_ref[:],
+                                    kind_ref[:],
+                                    _read_lt_local(lt_ref, n_lights + 1),
+                                    n_lights, has_checker)
+
+    return kernel
+
+
+def _read_lt_local(lt_ref, rows):
+    from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
+    return tuple(tuple(lt_ref[r, j] for j in range(LT_COLS))
+                 for r in range(rows))
+
+
+def _make_fused_bwd_kernel(w, n_lights, has_checker):
+    from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
+
+    def kernel(tlive_ref, st_ref, rnd_ref, uni_ref, dflt_ref, lt_ref,
+               kind_ref, idx_ref, g_ref, dst_ref, duni_ref, dlt_ref,
+               selv_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            duni_ref[:] = jnp.zeros_like(duni_ref)
+
+        @pl.when(tlive_ref[i] == 0)
+        def _dead():
+            # the dead-tile forward is the identity on the carry
+            dst_ref[:] = g_ref[:]
+            dlt_ref[0] = jnp.zeros((8, LANES), jnp.float32)
+
+        @pl.when(tlive_ref[i] > 0)
+        def _live():
+            kindp = kind_ref[:]                   # [BR, 128] i32
+            idxf = idx_ref[:].astype(jnp.float32)
+            dt = jnp.concatenate(
+                [jnp.full((1, LANES), dflt_ref[0, c]) for c in range(w)],
+                axis=0)
+            selv_ref[:] = jnp.broadcast_to(dt[:, None, :],
+                                           (w, BR, LANES))
+            for r in range(BR):
+                found_r = kindp[r:r + 1, :] > 0
+                any_found = jnp.max(jnp.where(found_r, 1, 0)) > 0
+
+                @pl.when(any_found)
+                def _row(r=r, found_r=found_r):
+                    sel = _rebuild_row(uni_ref, idxf[r:r + 1, :],
+                                       found_r, dt)
+                    selv_ref[:, r:r + 1, :] = sel[:, None, :]
+
+            selv = selv_ref[:]
+            rnd_t = rnd_ref[:]
+            lt = _read_lt_local(lt_ref, n_lights + 1)
+
+            def core(st_, selv_, lt_):
+                return _tile_core(st_, rnd_t, selv_, kindp, lt_,
+                                  n_lights, has_checker)
+
+            _, vjp = jax.vjp(core, st_ref[:], selv, lt)
+            dst, dsel, dlt = vjp(g_ref[:])
+            dst_ref[:] = dst
+
+            # d_uni accumulation: per row, scatter the winner-row
+            # cotangents back with the SAME one-hot masks as the fetch
+            # ([pc,128] contract [w,128] over lanes -> [pc, w]) into the
+            # revisited [P, W] accumulator — replaces the measured
+            # 2.9 ms/wave XLA scatter-add (r5 step trace). Grid is
+            # sequential, so the accumulation order is deterministic.
+            pu_ = duni_ref.shape[0]
+            for r in range(BR):
+                found_r = kindp[r:r + 1, :] > 0
+                any_found = jnp.max(jnp.where(found_r, 1, 0)) > 0
+
+                @pl.when(any_found)
+                def _acc(r=r, found_r=found_r):
+                    bi = jnp.where(found_r, idxf[r:r + 1, :], -1.0)
+                    drows = jnp.where(
+                        jnp.broadcast_to(found_r, (w, LANES)),
+                        dsel[:, r, :], 0.0)           # [w, 128]
+                    for p0 in range(0, pu_, PC):
+                        pc = min(PC, pu_ - p0)
+                        iif = (lax.broadcasted_iota(
+                            jnp.int32, (pc, LANES), 0)
+                            .astype(jnp.float32) + float(p0))
+                        m = (iif == bi).astype(jnp.float32)
+                        contrib = lax.dot_general(
+                            m, drows, (((1,), (1,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                        duni_ref[p0:p0 + pc, :] = (
+                            duni_ref[p0:p0 + pc, :] + contrib)
+
+            rows = n_lights + 1
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            rr = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            cc = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            for r in range(rows):
+                for j in range(LT_COLS):
+                    s = dlt[r][j]
+                    acc = acc + jnp.where(
+                        (rr == 0) & (cc == r * LT_COLS + j), s, 0.0)
+            dlt_ref[0] = acc
+
+    return kernel
+
+
+def _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
+                dbl_t, sph, quad, cab, lt):
+    (n_lights, has_checker) = cfg[6:8]
+    w = uni.shape[1]
+    cr = st.shape[1]
+    nt = cr // BR
+    fix = lambda shape, space=pltpu.VMEM: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, tl: tuple(0 for _ in shape), memory_space=space)
+    tile = lambda n: pl.BlockSpec((n, BR, LANES),  # noqa: E731
+                                  lambda i, tl: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fused_kernel(cfg, w, n_lights, has_checker),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=[
+                tile(N_STATE), tile(15),
+                fix(uni.shape),
+                fix(dflt.shape, pltpu.SMEM),
+                fix(det_t.shape), fix(u_t.shape), fix(v_t.shape),
+                fix(t_t.shape), fix(dbl_t.shape),
+                fix(sph.shape), fix(quad.shape),
+                fix(cab.shape, pltpu.SMEM),
+                fix(lt.shape, pltpu.SMEM),
+            ],
+            out_specs=[
+                tile(N_STATE),
+                pl.BlockSpec((BR, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BR, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((w, BR, LANES), jnp.float32)]),
+        out_shape=[
+            jax.ShapeDtypeStruct((N_STATE, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cr, LANES), jnp.int32),
+        ],
+        interpret=_pi.INTERPRET,
+    )(tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t, sph, quad,
+      cab, lt)
+
+
+def _name_fused(out):
+    st2, kind, idx = out
+    return (st2, checkpoint_name(kind, "isect_sel"),
+            checkpoint_name(idx, "isect_sel"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_call(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
+                dbl_t, sph, quad, cab, lt):
+    """One-kernel uber bounce. Differentiable w.r.t. ``st`` (through the
+    phase-2 recompute + estimator core), ``uni`` (winner rows) and
+    ``lt`` (light table + background); the selection and the search
+    tables are detached by design (ops/intersect.py)."""
+    st2, _, _ = _name_fused(_fused_impl(cfg, tlive, st, rnd, uni, dflt,
+                                        det_t, u_t, v_t, t_t, dbl_t,
+                                        sph, quad, cab, lt))
+    return st2
+
+
+def _fused_fwd(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
+               dbl_t, sph, quad, cab, lt):
+    st2, kind, idx = _name_fused(
+        _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t,
+                    t_t, dbl_t, sph, quad, cab, lt))
+    return st2, (tlive, st, rnd, uni, dflt, lt, kind, idx)
+
+
+def _fused_bwd(cfg, res, g):
+    import numpy as np
+    tlive, st, rnd, uni, dflt, lt, kind, idx = res
+    (n_lights, has_checker) = cfg[6:8]
+    (det_sh, dbl_sh, sph_sh, quad_sh, cab_sh) = cfg[8:13]
+    from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
+
+    w = uni.shape[1]
+    cr = st.shape[1]
+    nt = cr // BR
+    fix = lambda shape, space=pltpu.VMEM: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, tl: tuple(0 for _ in shape), memory_space=space)
+    tile = lambda n: pl.BlockSpec((n, BR, LANES),  # noqa: E731
+                                  lambda i, tl: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+    dst, duni, dlt = pl.pallas_call(
+        _make_fused_bwd_kernel(w, n_lights, has_checker),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=[
+                tile(N_STATE), tile(15),
+                fix(uni.shape),
+                fix(dflt.shape, pltpu.SMEM),
+                fix(lt.shape, pltpu.SMEM),
+                pl.BlockSpec((BR, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BR, LANES), lambda i, tl: (i, 0),
+                             memory_space=pltpu.VMEM),
+                tile(N_STATE),
+            ],
+            out_specs=[
+                tile(N_STATE),
+                fix(uni.shape),                    # revisited accumulator
+                pl.BlockSpec((1, 8, LANES), lambda i, tl: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((w, BR, LANES), jnp.float32)]),
+        out_shape=[
+            jax.ShapeDtypeStruct((N_STATE, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct(uni.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nt, 8, LANES), jnp.float32),
+        ],
+        interpret=_pi.INTERPRET,
+    )(tlive, st, rnd, uni, dflt, lt, kind, idx, g)
+    rows = lt.shape[0]
+    d_lt = dlt[:, 0, :rows * LT_COLS].sum(0).reshape(rows, LT_COLS)
+    z = lambda sh: jnp.zeros(sh, jnp.float32)  # noqa: E731
+    return (np.zeros(jnp.shape(tlive), jax.dtypes.float0), dst,
+            z(jnp.shape(rnd)), duni, z(jnp.shape(dflt)), z(det_sh),
+            z(det_sh), z(det_sh), z(det_sh), z(dbl_sh), z(sph_sh),
+            z(quad_sh), z(cab_sh), d_lt)
+
+
+_fused_call.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
 # glue: eligibility, table builds, the full uber bounce
 # ---------------------------------------------------------------------------
 
@@ -511,9 +919,12 @@ def _search_tables(scene_s):
     else:
         det_t = u_t = v_t = t_t = jnp.zeros((8, 10), jnp.float32)
         dbl_t = jnp.zeros((8, 1), jnp.float32)
-    det_t, u_t, v_t, t_t = (_pad_rows(x, 8) for x in
+    # pad to TCC multiples: the fused kernel's fori_loop sweep reads
+    # full TCC-row dslices (pad coeff rows are zeros -> det 0 -> always
+    # rejected; all-pad chunks get inverted cull boxes and never run)
+    det_t, u_t, v_t, t_t = (_pad_rows(x, TCC) for x in
                             (det_t, u_t, v_t, t_t))
-    dbl_t = _pad_rows(dbl_t, 8)
+    dbl_t = _pad_rows(dbl_t, TCC)
 
     s_n = scene_s.sph_c0.shape[0]
     if s_n:
@@ -562,7 +973,35 @@ def make_ctx(scene):
          else jnp.zeros((0, LT_COLS), jnp.float32),
          jnp.pad(scene.background[None, :], ((0, 0), (0, LT_COLS - 3)))],
         axis=0)
-    return uni, dflt, offs, search, lt
+    cab = _chunk_aabbs(scene_s, search[0].shape[0])
+    return uni, dflt, offs, search, lt, cab
+
+
+def _chunk_aabbs(scene_s, tp: int):
+    """[ceil(tp/TCC), 8] = (lo3, hi3, 0, 0) AABBs over TCC-sized chunks
+    of the (Morton-ordered) triangle table — the fused kernel's
+    row x chunk cull boxes. Pad rows (zero coefficient tris past the
+    real count) get inverted boxes (+inf lo / -inf hi), so all-pad
+    chunks are never swept; real chunks' boxes ignore them."""
+    n_chunks = max(1, -(-tp // TCC))
+    n = scene_s.tri_v0.shape[0]
+    if n == 0:
+        return jnp.zeros((n_chunks, 8), jnp.float32)
+    v0 = scene_s.tri_v0
+    c1 = v0 + scene_s.tri_e1
+    c2 = v0 + scene_s.tri_e2
+    lo3 = jnp.minimum(jnp.minimum(v0, c1), c2)      # [n, 3]
+    hi3 = jnp.maximum(jnp.maximum(v0, c1), c2)
+    padn = n_chunks * TCC - n
+    lo3 = jnp.concatenate(
+        [lo3, jnp.full((padn, 3), jnp.inf, lo3.dtype)], axis=0)
+    hi3 = jnp.concatenate(
+        [hi3, jnp.full((padn, 3), -jnp.inf, hi3.dtype)], axis=0)
+    lo = lo3.reshape(n_chunks, TCC, 3).min(axis=1)
+    hi = hi3.reshape(n_chunks, TCC, 3).max(axis=1)
+    return jnp.concatenate(
+        [lo, hi, jnp.zeros((n_chunks, 2), lo.dtype)],
+        axis=1).astype(jnp.float32)
 
 
 def bounce_uber(scene, bkey, st, rand=None, ctx=None):
@@ -609,8 +1048,19 @@ def bounce_uber(scene, bkey, st, rand=None, ctx=None):
     alive = st[7]
     tlive = jnp.any(alive.reshape(cr // BR, BR, LANES) > 0.5,
                     axis=(1, 2)).astype(jnp.int32)
-    uni, dflt, (t_off, s_off, q_off), search, lt = ctx
+    uni, dflt, (t_off, s_off, q_off), search, lt, cab = ctx
     det_t, u_t, v_t, t_t, dbl_t, sph, quad = search
+
+    if os.environ.get("RRT_NO_UBER_FUSED", "") != "1":
+        # one-kernel bounce: search + phase 2 + shade + update fused
+        cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,
+               scene.quad_q.shape[0] > 0, t_off, s_off, q_off,
+               int(lt.shape[0]) - 1, has_checker,
+               tuple(det_t.shape), tuple(dbl_t.shape),
+               tuple(sph.shape), tuple(quad.shape), tuple(cab.shape))
+        return _fused_call(cfg, tlive, st, rnd, uni, dflt, det_t, u_t,
+                           v_t, t_t, dbl_t, sph, quad, cab, lt)
+
     st8 = lax.stop_gradient(st[0:N_ST])
     cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,
            scene.quad_q.shape[0] > 0, t_off, s_off, q_off,

@@ -208,6 +208,18 @@ def test_uber_eligibility_gate(monkeypatch):
     assert not pu.uber_eligible(solid_scene())
 
 
+def test_uber_hoisted_randoms_exact(monkeypatch):
+    """RRT_UBER_XRND=1 (threefry hoisted out of the bounce scan) draws
+    the SAME streams through bounce_uber's rand= path — renders must be
+    bitwise identical to the in-body draw."""
+    sd = solid_scene()
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(_render(sd, key, "uber"))
+    monkeypatch.setenv("RRT_UBER_XRND", "1")
+    got = np.asarray(_render(sd, key, "uber"))
+    assert (got == ref).all()
+
+
 def test_uber_live_tile_skip_exact():
     """A chunk whose later-bounce tiles are mostly dead must render
     identically to the split path (the dead-tile pass-through is the
