@@ -544,8 +544,24 @@ def render_waves(scene, width: int, height: int, key,
     n_chunks = -(-n // chunk_size)
     n_pad = n_chunks * chunk_size
 
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+    from rust_ray_tracer_tpu.ops import pallas_uber as pu
+    from rust_ray_tracer_tpu.ops.intersect import _no_pallas
+    uber_wave = (not compact and pk.on_tpu() and not _no_pallas()
+                 and pu.uber_eligible(scene)
+                 and os.environ.get("RRT_UBER_WAVE", "") != "0")
+    ctx = pu.make_ctx(scene) if uber_wave else None
+
     def one_wave(wave_i):
         wkey = rngu.wave_key(key, wave_i)
+        if uber_wave:
+            # whole-wave trace: the bounce loop runs INSIDE one Pallas
+            # dispatch (ops/pallas_uber.trace_wave_uber) — same sampled
+            # trajectories as the per-chunk scan below (shared streams,
+            # same tile partitioning)
+            rows = pu.trace_wave_uber(scene, wkey, width, height, depth,
+                                      chunk_size, ctx=ctx)[:n]
+            return cam_ops.image_from_positions(rows, width, height)
         if compact:
             rows = trace_wave_compact(scene, wkey, width, height, depth,
                                       chunk_size, remat,

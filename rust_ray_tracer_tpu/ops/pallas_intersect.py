@@ -55,7 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 from rust_ray_tracer_tpu.models.scene import CLUSTER
 
 TRI_DET_EPS = 1e-5      # triangle.rs:42
-BC = 256                # rays per tile
+# rays per tile: 256 = two 128-lane rows (tuned default). RRT_BC=128
+# makes the pair list ROW-granular for big packed meshes — each pair
+# sweeps tris only for the 128 rays that actually enter the cluster
+# box (finer culling, 2x the pre-pass/pair-build size); sweepable knob.
+BC = int(os.environ.get("RRT_BC", "256"))
 BT = CLUSTER            # min triangles per tile (cluster width is
                         # derived per scene: see tri_search)
 

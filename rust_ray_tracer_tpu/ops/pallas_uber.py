@@ -810,6 +810,371 @@ _fused_call.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
+# whole-wave trace kernel: the ENTIRE bounce loop inside one dispatch
+# ---------------------------------------------------------------------------
+#
+# Even with the one-kernel bounce, the round-5 trace showed ~6 ms/wave
+# of device idle around 3.8 ms/wave of work: the per-(chunk, bounce)
+# lax.cond + scan sequencing stalls the pipeline at every step (768
+# conditionals and 192 while iterations per 12 waves). Here the bounce
+# scan moves INSIDE the kernel: grid = (wave tiles, depth), iteration
+# order tile-major with bounces innermost, and the wavefront carry for
+# a tile lives in a REVISITED output block (constant index over the
+# bounce dim — Mosaic keeps it in VMEM across the tile's bounce steps,
+# the matmul-accumulator pattern generalized to state). One wave of the
+# flagship render = ONE pallas dispatch; the only per-wave XLA left is
+# camera rays, the batched threefry, and the image accumulation.
+#
+# Liveness needs no scalar prefetch: each (tile, bounce) step reads its
+# own alive plane from the resident carry and pl.when-skips everything
+# (a dead tile-bounce costs the block DMAs only). The backward is a
+# mirrored kernel: bounces iterate REVERSED (index maps d -> depth-1-d),
+# the carry cotangent rides a revisited block, the bounce-d input state
+# comes from the ``hist`` residual written by the forward, winner rows
+# are rebuilt from (kind, idx) via the one-hot fetch, and d_uni / d_lt
+# accumulate into revisited blocks across the whole grid.
+#
+# Streams/arithmetic are bit-identical to the per-bounce fused path:
+# the randoms arrive as precomputed per-(chunk, bounce) planes drawn
+# from the SAME threefry streams, and tiles/bounces execute the same
+# per-tile math in the same order.
+
+def _make_trace_kernel(cfg, w, n_lights, has_checker, depth):
+    def kernel(st0_ref, rnd_ref, uni_ref, dflt_ref, det_ref, u_ref,
+               v_ref, t_ref, dbl_ref, sph_ref, quad_ref, cab_ref,
+               lt_ref, stf_ref, hist_ref, kind_ref, idx_ref, selv_ref):
+        d = pl.program_id(1)
+
+        @pl.when(d == 0)
+        def _init():
+            stf_ref[:] = st0_ref[:]
+
+        P = stf_ref[:]
+        hist_ref[0] = P          # bounce-d input state (bwd residual)
+        tile_alive = jnp.max(P[7:8]) > 0.5
+
+        @pl.when(jnp.logical_not(tile_alive))
+        def _dead():
+            kind_ref[:] = jnp.zeros_like(kind_ref)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
+
+        @pl.when(tile_alive)
+        def _live():
+            dt = jnp.concatenate(
+                [jnp.full((1, LANES), dflt_ref[0, c]) for c in range(w)],
+                axis=0)                               # [w, 128]
+            selv_ref[:] = jnp.broadcast_to(dt[:, None, :],
+                                           (w, BR, LANES))
+            kind_ref[:] = jnp.zeros_like(kind_ref)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
+            for r in range(BR):
+                row_alive = jnp.max(P[7:8, r, :]) > 0.5
+
+                @pl.when(row_alive)
+                def _row(r=r):
+                    sel, bk, bi = _search_row(
+                        P, r, cfg, uni_ref, det_ref, u_ref, v_ref,
+                        t_ref, dbl_ref, sph_ref, quad_ref, dt,
+                        cab=cab_ref)
+                    selv_ref[:, r:r + 1, :] = sel[:, None, :]
+                    kind_ref[0, r:r + 1, :] = bk.astype(jnp.int32)
+                    idx_ref[0, r:r + 1, :] = bi.astype(jnp.int32)
+
+            stf_ref[:] = _tile_core(
+                P, rnd_ref[0], selv_ref[:], kind_ref[0],
+                _read_lt_local(lt_ref, n_lights + 1), n_lights,
+                has_checker)
+
+    return kernel
+
+
+def _make_trace_bwd_kernel(w, n_lights, has_checker, depth):
+    from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
+
+    def kernel(hist_ref, rnd_ref, uni_ref, dflt_ref, lt_ref, kind_ref,
+               idx_ref, g_ref, dst_ref, duni_ref, dlt_ref, selv_ref):
+        i = pl.program_id(0)
+        dd = pl.program_id(1)    # reversed bounce (index maps handle it)
+
+        @pl.when((i == 0) & (dd == 0))
+        def _init_acc():
+            duni_ref[:] = jnp.zeros_like(duni_ref)
+            dlt_ref[:] = jnp.zeros_like(dlt_ref)
+
+        @pl.when(dd == 0)
+        def _init_g():
+            dst_ref[:] = g_ref[:]
+
+        P = hist_ref[0]                        # bounce-d input state
+        tile_alive = jnp.max(P[7:8]) > 0.5     # same predicate as fwd
+
+        @pl.when(tile_alive)
+        def _live():
+            kindp = kind_ref[0]
+            idxf = idx_ref[0].astype(jnp.float32)
+            dt = jnp.concatenate(
+                [jnp.full((1, LANES), dflt_ref[0, c]) for c in range(w)],
+                axis=0)
+            selv_ref[:] = jnp.broadcast_to(dt[:, None, :],
+                                           (w, BR, LANES))
+            for r in range(BR):
+                found_r = kindp[r:r + 1, :] > 0
+                any_found = jnp.max(jnp.where(found_r, 1, 0)) > 0
+
+                @pl.when(any_found)
+                def _row(r=r, found_r=found_r):
+                    sel = _rebuild_row(uni_ref, idxf[r:r + 1, :],
+                                       found_r, dt)
+                    selv_ref[:, r:r + 1, :] = sel[:, None, :]
+
+            selv = selv_ref[:]
+            rnd_t = rnd_ref[0]
+            lt = _read_lt_local(lt_ref, n_lights + 1)
+
+            def core(st_, selv_, lt_):
+                return _tile_core(st_, rnd_t, selv_, kindp, lt_,
+                                  n_lights, has_checker)
+
+            _, vjp = jax.vjp(core, P, selv, lt)
+            dst, dsel, dlt = vjp(dst_ref[:])
+            dst_ref[:] = dst
+
+            pu_ = duni_ref.shape[0]
+            for r in range(BR):
+                found_r = kindp[r:r + 1, :] > 0
+                any_found = jnp.max(jnp.where(found_r, 1, 0)) > 0
+
+                @pl.when(any_found)
+                def _acc(r=r, found_r=found_r):
+                    bi = jnp.where(found_r, idxf[r:r + 1, :], -1.0)
+                    drows = jnp.where(
+                        jnp.broadcast_to(found_r, (w, LANES)),
+                        dsel[:, r, :], 0.0)           # [w, 128]
+                    for p0 in range(0, pu_, PC):
+                        pc = min(PC, pu_ - p0)
+                        iif = (lax.broadcasted_iota(
+                            jnp.int32, (pc, LANES), 0)
+                            .astype(jnp.float32) + float(p0))
+                        m = (iif == bi).astype(jnp.float32)
+                        contrib = lax.dot_general(
+                            m, drows, (((1,), (1,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                        duni_ref[p0:p0 + pc, :] = (
+                            duni_ref[p0:p0 + pc, :] + contrib)
+
+            rows = n_lights + 1
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            rr = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            cc = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            for r in range(rows):
+                for j in range(LT_COLS):
+                    s = dlt[r][j]
+                    acc = acc + jnp.where(
+                        (rr == 0) & (cc == r * LT_COLS + j), s, 0.0)
+            dlt_ref[:] = dlt_ref[:] + acc
+
+    return kernel
+
+
+def _trace_impl(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
+                sph, quad, cab, lt):
+    (n_lights, has_checker) = cfg[6:8]
+    depth = cfg[13]
+    w = uni.shape[1]
+    cr = st0.shape[1]
+    nt = cr // BR
+    fix = lambda shape, space=pltpu.VMEM: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, d: tuple(0 for _ in shape), memory_space=space)
+    return pl.pallas_call(
+        _make_trace_kernel(cfg, w, n_lights, has_checker, depth),
+        grid=(nt, depth),
+        in_specs=[
+            pl.BlockSpec((N_STATE, BR, LANES), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 15, BR, LANES), lambda i, d: (d, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            fix(uni.shape),
+            fix(dflt.shape, pltpu.SMEM),
+            fix(det_t.shape), fix(u_t.shape), fix(v_t.shape),
+            fix(t_t.shape), fix(dbl_t.shape),
+            fix(sph.shape), fix(quad.shape),
+            fix(cab.shape, pltpu.SMEM),
+            fix(lt.shape, pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_STATE, BR, LANES), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_STATE, BR, LANES),
+                         lambda i, d: (d, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR, LANES), lambda i, d: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR, LANES), lambda i, d: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_STATE, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((depth, N_STATE, cr, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((depth, cr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((depth, cr, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((w, BR, LANES), jnp.float32)],
+        interpret=_pi.INTERPRET,
+    )(st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t, sph, quad,
+      cab, lt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trace_call(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
+                sph, quad, cab, lt):
+    """Whole-wave bounce loop in one dispatch (see section comment).
+    Returns the final carry planes. Differentiable w.r.t. ``st0``,
+    ``uni`` and ``lt``; selection + search tables detached."""
+    stf, _, kind, idx = _trace_impl(cfg, st0, rnd, uni, dflt, det_t,
+                                    u_t, v_t, t_t, dbl_t, sph, quad,
+                                    cab, lt)
+    return stf
+
+
+def _trace_fwd(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
+               sph, quad, cab, lt):
+    stf, hist, kind, idx = _trace_impl(cfg, st0, rnd, uni, dflt, det_t,
+                                       u_t, v_t, t_t, dbl_t, sph, quad,
+                                       cab, lt)
+    return stf, (hist, rnd, uni, dflt, lt, kind, idx)
+
+
+def _trace_bwd(cfg, res, g):
+    import numpy as np
+    hist, rnd, uni, dflt, lt, kind, idx = res
+    (n_lights, has_checker) = cfg[6:8]
+    (det_sh, dbl_sh, sph_sh, quad_sh, cab_sh) = cfg[8:13]
+    depth = cfg[13]
+    from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
+
+    w = uni.shape[1]
+    cr = hist.shape[2]
+    nt = cr // BR
+    rev = lambda d: depth - 1 - d  # noqa: E731
+    fix = lambda shape, space=pltpu.VMEM: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, d: tuple(0 for _ in shape), memory_space=space)
+    dst, duni, dlt = pl.pallas_call(
+        _make_trace_bwd_kernel(w, n_lights, has_checker, depth),
+        grid=(nt, depth),
+        in_specs=[
+            pl.BlockSpec((1, N_STATE, BR, LANES),
+                         lambda i, d: (rev(d), 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 15, BR, LANES),
+                         lambda i, d: (rev(d), 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            fix(uni.shape),
+            fix(dflt.shape, pltpu.SMEM),
+            fix(lt.shape, pltpu.SMEM),
+            pl.BlockSpec((1, BR, LANES), lambda i, d: (rev(d), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR, LANES), lambda i, d: (rev(d), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_STATE, BR, LANES), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_STATE, BR, LANES), lambda i, d: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            fix(uni.shape),
+            fix((8, LANES)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_STATE, cr, LANES), jnp.float32),
+            jax.ShapeDtypeStruct(uni.shape, jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((w, BR, LANES), jnp.float32)],
+        interpret=_pi.INTERPRET,
+    )(hist, rnd, uni, dflt, lt, kind, idx, g)
+    rows = lt.shape[0]
+    d_lt = dlt[0, :rows * LT_COLS].reshape(rows, LT_COLS)
+    z = lambda sh: jnp.zeros(sh, jnp.float32)  # noqa: E731
+    return (dst, z(jnp.shape(rnd)), duni, z(jnp.shape(dflt)),
+            z(det_sh), z(det_sh), z(det_sh), z(det_sh), z(dbl_sh),
+            z(sph_sh), z(quad_sh), z(cab_sh), d_lt)
+
+
+_trace_call.defvjp(_trace_fwd, _trace_bwd)
+
+
+def trace_wave_uber(scene, wkey, width: int, height: int,
+                    depth: int, chunk_size: int, ctx=None):
+    """One full sample-wave through :func:`_trace_call` — returns the
+    [n_chunks * chunk_size, 3] radiance rows (chunk-major; caller crops
+    the tail) with EXACTLY the per-chunk path's sampled trajectories:
+    camera rays and randoms are keyed by (wave key, global chunk id,
+    bounce) just as render_chunk/trace_rays draw them, each chunk's
+    planes are packed with its own tile padding, and the kernel
+    processes the same 1024-lane tiles in the same order.
+    """
+    from rust_ray_tracer_tpu.ops import camera as cam_ops
+
+    if ctx is None:
+        ctx = make_ctx(scene)
+    uni, dflt, (t_off, s_off, q_off), search, lt, cab = ctx
+    det_t, u_t, v_t, t_t, dbl_t, sph, quad = search
+
+    n = width * height
+    n_chunks = -(-n // chunk_size)
+    chunk_ids = jnp.arange(n_chunks)
+    pad = (-chunk_size) % (BR * LANES)
+    cp = chunk_size + pad
+    cr_c = cp // LANES
+
+    def prim(cid):
+        o, d, t, ckey = cam_ops.camera_rays_for_chunk(
+            scene.camera, wkey, cid, chunk_size, width, height)
+        ck = rngu.stream(ckey, rngu.CHUNK)
+        st, _ = pack_state(o, d, t, jnp.zeros((chunk_size, 3), o.dtype),
+                           jnp.ones((chunk_size, 3), o.dtype),
+                           jnp.ones((chunk_size,), bool))
+
+        def draw(b):
+            bk = rngu.bounce_key(ck, b)
+            ub = jax.random.uniform(rngu.stream(bk, rngu.SCATTER),
+                                    (chunk_size, 9), dtype=o.dtype)
+            gb = jax.random.normal(rngu.stream(bk, rngu.FUZZ),
+                                   (chunk_size, 6), dtype=o.dtype)
+            ub = jnp.pad(ub, ((0, pad), (0, 0)))
+            gb = jnp.pad(gb, ((0, pad), (0, 0)))
+            return jnp.concatenate([ub.T.reshape(9, cr_c, LANES),
+                                    gb.T.reshape(6, cr_c, LANES)],
+                                   axis=0)            # [15, cr_c, 128]
+
+        rnd = jax.vmap(draw)(jnp.arange(depth))       # [depth, 15, ...]
+        return st, rnd
+
+    st_c, rnd_c = lax.map(prim, chunk_ids)
+    # chunk-major concat along the plane-row axis
+    st0 = jnp.moveaxis(st_c, 0, 1).reshape(N_STATE, n_chunks * cr_c,
+                                           LANES)
+    rnd = jnp.moveaxis(rnd_c, 0, 2).reshape(
+        depth, 15, n_chunks * cr_c, LANES)
+
+    from rust_ray_tracer_tpu.ops.intersect import KIND_NONE  # noqa: F401
+    has_checker = scene.tex_even.shape[0] > 0
+    cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,
+           scene.quad_q.shape[0] > 0, t_off, s_off, q_off,
+           int(lt.shape[0]) - 1, has_checker,
+           tuple(det_t.shape), tuple(dbl_t.shape),
+           tuple(sph.shape), tuple(quad.shape), tuple(cab.shape),
+           int(depth))
+    stf = _trace_call(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t,
+                      dbl_t, sph, quad, cab, lt)
+    L = stf[8:11].reshape(3, n_chunks, cr_c * LANES)
+    L = jnp.moveaxis(L, 0, 2)[:, :chunk_size, :]      # [n_chunks, C, 3]
+    return L.reshape(n_chunks * chunk_size, 3)
+
+
+# ---------------------------------------------------------------------------
 # glue: eligibility, table builds, the full uber bounce
 # ---------------------------------------------------------------------------
 

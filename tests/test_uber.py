@@ -220,6 +220,18 @@ def test_uber_hoisted_randoms_exact(monkeypatch):
     assert (got == ref).all()
 
 
+def test_uber_wave_vs_per_bounce_exact(monkeypatch):
+    """The whole-wave trace kernel (one dispatch, bounces in-grid) must
+    reproduce the per-bounce fused path bitwise — same streams, same
+    tile partitioning, same per-tile math order."""
+    sd = solid_scene()
+    key = jax.random.PRNGKey(13)
+    wave = np.asarray(_render(sd, key, "uber"))
+    monkeypatch.setenv("RRT_UBER_WAVE", "0")
+    per_bounce = np.asarray(_render(sd, key, "uber"))
+    assert (wave == per_bounce).all()
+
+
 def test_uber_live_tile_skip_exact():
     """A chunk whose later-bounce tiles are mostly dead must render
     identically to the split path (the dead-tile pass-through is the
