@@ -63,7 +63,9 @@ N_ST = 8                # select-kernel state planes: o(3) d(3) time alive
 N_STATE = 14
 ROWS_MAX = 4096         # eligibility: total winner-table rows
 TC = 1024               # triangle rows per in-kernel sweep chunk
-TCC = 512               # tri rows per CULLED sweep chunk (fused kernel)
+# tri rows per CULLED sweep chunk (fused/trace kernels) — also the cull
+# AABB grain and the search-table padding grain; env-sweepable
+TCC = int(os.environ.get("RRT_TCC", "512"))
 SC = 512                # sphere rows per chunk
 QC = 512                # quad rows per chunk
 PC = 1024               # winner-table rows per one-hot chunk
@@ -306,20 +308,28 @@ def _search_row(P, r, cfg, uni_ref, det_ref, u_ref, v_ref, t_ref,
 
     # one-hot winner-row fetch: [P, W]^T-contract [P, 128] on the MXU.
     # The mask has exactly one 1.0 per found lane; 6-pass bf16 HIGHEST
-    # reconstructs a f32 exactly for a 1.0-weighted single row.
+    # reconstructs a f32 exactly for a 1.0-weighted single row. The
+    # fetch is ~30% of the kernel's MXU FLOPs, so all-miss rows (sky
+    # rows at bounce 0) skip it entirely under lax.cond.
     w = uni_ref.shape[1]
     pu = uni_ref.shape[0]
-    sel = jnp.zeros((w, LANES), jnp.float32)
-    for p0 in range(0, pu, PC):
-        pc = min(PC, pu - p0)
-        iif = (lax.broadcasted_iota(jnp.int32, (pc, LANES), 0)
-               .astype(jnp.float32) + float(p0))
-        m = (iif == best_i).astype(jnp.float32)       # [pc, 128]
-        sel = sel + _dot_onehot(uni_ref[p0:p0 + pc, :], m)
-    # miss lanes take the default row (material 0's attrs) so the
-    # branchless downstream eval never sees 0-ior/0-albedo poison —
-    # same convention as intersect_select's miss default
-    sel = jnp.where(jnp.broadcast_to(found, (w, LANES)), sel, dflt_tile)
+
+    def fetch(_):
+        sel = jnp.zeros((w, LANES), jnp.float32)
+        for p0 in range(0, pu, PC):
+            pc = min(PC, pu - p0)
+            iif = (lax.broadcasted_iota(jnp.int32, (pc, LANES), 0)
+                   .astype(jnp.float32) + float(p0))
+            m = (iif == best_i).astype(jnp.float32)   # [pc, 128]
+            sel = sel + _dot_onehot(uni_ref[p0:p0 + pc, :], m)
+        # miss lanes take the default row (material 0's attrs) so the
+        # branchless downstream eval never sees 0-ior/0-albedo poison —
+        # same convention as intersect_select's miss default
+        return jnp.where(jnp.broadcast_to(found, (w, LANES)), sel,
+                         dflt_tile)
+
+    any_found = jnp.max(jnp.where(found, 1.0, 0.0)) > 0.0
+    sel = lax.cond(any_found, fetch, lambda _: dflt_tile, 0)
     return sel, best_k, best_i
 
 
