@@ -153,10 +153,28 @@ def auto_compact(scene, threshold: float = 0.3) -> bool:
     like MetalRoughSpheres fill their cluster boxes, so the
     overestimate is small exactly where it is used).
 
+    Since r5 the question is moot for uber-eligible scenes on TPU:
+    ``compact=True`` bypasses the whole-wave uber kernel
+    (:func:`render_waves` routes uber only when ``not compact``), and
+    the uber path beats compact by an order of magnitude wherever both
+    apply — measured on v5e 2026-08-20 (tools/r5_compact_cornell):
+    cornell_box step 9.3 (uber) vs 127.0 (compact) vs 34.1 (plain)
+    ms/wave, cornell_triangle 14.7 vs 131.6 vs 40.9. So eligibility
+    short-circuits the probe to False. random stays on the occupancy
+    probe (its noise ground blocks the uber route, scene.rs:37) and
+    compact remains its measured winner (step 685 vs 961 ms/wave).
+
     Must be called OUTSIDE jit (reads concrete values); callers resolve
     it once and pass a plain bool down (utils/cli.py ``--compact auto``).
     """
     import numpy as np
+
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+    from rust_ray_tracer_tpu.ops import pallas_uber as pu
+    from rust_ray_tracer_tpu.ops.intersect import _no_pallas
+
+    if pk.on_tpu() and not _no_pallas() and pu.uber_eligible(scene):
+        return False
 
     cam = scene.camera
     c2w = np.asarray(cam.c2w, np.float64)          # [3,4] (R|t)

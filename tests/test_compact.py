@@ -215,10 +215,14 @@ def test_compact_proc_chunk_invariance():
 
 class TestAutoCompact:
     """integrator.auto_compact picks the measured winner per scene class
-    (v5e 2026-08-19, tools/r4_compact_check + tools/bench_scenes):
-    compaction wins on frame-filling occupancy-bound scenes (random
-    1.38-1.5x, MetalRoughSpheres-1M 1.07x) and loses on small-object-
-    in-a-void scenes (suzanne 1.8x SLOWER)."""
+    (v5e 2026-08-19/20, tools/r4_compact_check + tools/bench_scenes +
+    tools/r5_compact_cornell): compaction wins on frame-filling
+    occupancy-bound scenes that can't route to the whole-wave uber
+    kernel (random 1.38-1.5x, MetalRoughSpheres-1M 1.07x), loses on
+    small-object-in-a-void scenes (suzanne 1.8x SLOWER), and loses by
+    an order of magnitude against the uber route wherever that is
+    eligible (cornell_box step 9.3 uber vs 127.0 compact ms/wave) —
+    so uber eligibility on TPU short-circuits the probe to False."""
 
     def test_frame_filling_scene_on(self):
         from rust_ray_tracer_tpu.ops.integrator import auto_compact
@@ -229,7 +233,22 @@ class TestAutoCompact:
         from rust_ray_tracer_tpu.ops.integrator import auto_compact
         for name in ("random", "cornell_box", "final_scene"):
             sd = compile_scene(builders.get_scene(name, 16 / 9))
+            # CPU path (tests force CPU): the occupancy probe decides
             assert auto_compact(sd) is True, name
+
+    def test_uber_eligibility_short_circuits_on_tpu(self, monkeypatch):
+        """On TPU, compact=True would bypass the uber route, which is
+        the measured winner by >10x on every uber-eligible scene
+        (tools/r5_compact_cornell, v5e 2026-08-20)."""
+        from rust_ray_tracer_tpu.models import builders
+        from rust_ray_tracer_tpu.ops import integrator
+        from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+        monkeypatch.setattr(pk, "on_tpu", lambda: True)
+        for name, expect in (("cornell_box", False),       # uber route
+                             ("cornell_triangle", False),  # uber route
+                             ("random", True)):   # noise ground blocks
+            sd = compile_scene(builders.get_scene(name, 16 / 9))
+            assert integrator.auto_compact(sd) is expect, name
 
     def test_small_mesh_in_void_off(self):
         from rust_ray_tracer_tpu.models.gltf import load_gltf_scene

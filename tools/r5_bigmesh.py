@@ -33,7 +33,7 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def bench(scene, tag):
+def bench(scene, tag, compact=False):
     from rust_ray_tracer_tpu.models.scene import combine, partition
     from rust_ray_tracer_tpu.ops.integrator import render_waves
 
@@ -42,7 +42,7 @@ def bench(scene, tag):
 
     def loss(d, k, s):
         img = render_waves(combine(d, static), W, H, k, s, 1,
-                           depth=D, chunk_size=CHUNK)
+                           depth=D, chunk_size=CHUNK, compact=compact)
         return jnp.mean(img)
 
     fwd = jax.jit(loss)
@@ -86,11 +86,13 @@ def prepass(scene, tag):
         f[:, 0:3], f[:, 3:6], scene.tri_cluster_min,
         scene.tri_cluster_max, tmin, tmax))
     jax.block_until_ready(fn(feats))
+    # async-pipelined: 16 dispatches in flight amortize the ~25ms
+    # fixed tunnel RTT that a one-dispatch loop would measure instead
     ts = []
-    for _ in range(10):
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(feats))
-        ts.append(time.perf_counter() - t0)
+        jax.block_until_ready([fn(feats) for _ in range(16)])
+        ts.append((time.perf_counter() - t0) / 16)
     ts.sort()
     k = scene.tri_cluster_min.shape[0]
     log(f"{tag}: entry pre-pass (1 chunk x {k} clusters, BC={pk.BC}): "
@@ -102,17 +104,22 @@ def prepass(scene, tag):
 
 def main():
     from rust_ray_tracer_tpu.models.gltf import load_gltf_scene
+    from rust_ray_tracer_tpu.models.scene import compile_scene
 
     stages = sys.argv[1:] or ["A", "C", "B"]
     log(f"devices: {jax.devices()}  stages: {stages}")
     t0 = time.time()
-    scene = load_gltf_scene(ASSET, W / H)
+    scene = compile_scene(load_gltf_scene(ASSET, W / H))
     log(f"loaded 1M-tri scene in {time.time() - t0:.0f}s "
         f"(n_tris={int(scene.n_tris)})")
+    from rust_ray_tracer_tpu.ops import pallas_intersect as pk
+
     if "A" in stages:
-        bench(scene, "A/bc256")
+        bench(scene, f"A/bc{pk.BC}/plain")
+    if "D" in stages:
+        bench(scene, f"D/bc{pk.BC}/compact", compact=True)
     if "C" in stages:
-        prepass(scene, "C/bc256")
+        prepass(scene, f"C/bc{pk.BC}")
     if "B" in stages:
         # re-import with BC=128: module constant read at import time
         log("B: restart with RRT_BC=128 (module reload not supported) — "
