@@ -557,7 +557,22 @@ def _mat_attr_table(scene):
         cols += [scene.tex_color[scene.tex_even[tid]],
                  scene.tex_color[scene.tex_odd[tid]],
                  (scene.tex_kind[tid] == TEX_CHECKER).astype(f32)[:, None]]
+    if scene.perlin_vec.shape[0] > 0:
+        # noise (marble) columns for the in-kernel eval (pallas_uber):
+        # the texture's frequency scale (differentiable — its cotangent
+        # rides the winner-row d_uni path) and an is-noise flag. Layout
+        # helper: mattr_noise_cols.
+        from rust_ray_tracer_tpu.models.scene import TEX_NOISE
+        cols += [scene.tex_scale[tid][:, None],
+                 (scene.tex_kind[tid] == TEX_NOISE).astype(f32)[:, None]]
     return jnp.concatenate(cols, axis=1)
+
+
+def mattr_noise_cols(has_checker: bool):
+    """(scale_col, is_noise_col) positions in the _mat_attr_table row —
+    the noise block sits after the optional checker block."""
+    base = 6 + (7 if has_checker else 0)
+    return base, base + 1
 
 
 def intersect_select(scene, o, d, time, med_u=None, t_min=None,

@@ -81,19 +81,118 @@ def _read_lt(lt_ref, rows):
                  for r in range(rows))
 
 
+# ---------------------------------------------------------------------------
+# in-kernel marble noise (texture.rs:74-82 / perlin.rs:58-105)
+# ---------------------------------------------------------------------------
+#
+# The 256-entry perlin tables live in VMEM as ONE [8, 256] plane
+# (rows 0-2 = gradient-vector x/y/z transposed; rows 4-6 = the three
+# permutation tables as exact-integer f32). Per-lane table lookups have
+# no Mosaic gather, so each lookup is a one-hot MXU contraction — the
+# same trick as the uber winner-row fetch (pallas_uber._dot_onehot):
+# build [256, 128] masks from an integer-valued f32 index row and
+# contract the table against them. Permutation lookups ride DEFAULT
+# (single-pass bf16 — integers <= 255 are exact in bf16); gradient
+# lookups ride HIGHEST (6-pass reconstructs the f32 exactly for a
+# one-hot weighting).
+#
+# Gradients: the vjp of this code (the bounce backward kernels trace
+# jax.vjp over the whole plane core) flows through the Hermite weights
+# and the grad·(uvw-corner) dot into the hit point — i.e. d(albedo)/dp
+# reaches geometry parameters exactly as the XLA texture_value path.
+# The table VALUES are deliberately detached (they enter as a closed-
+# over kernel ref, not a vjp argument): the reference's tables are
+# unseeded thread_rng noise (perlin.rs:14-30) — a fixed procedural
+# basis, not a learnable parameter. PARITY.md documents the delta vs
+# the XLA path (which, being plain jnp, happens to expose d perlin_vec).
+
+_PN = 256   # perlin.rs:6
+
+
+def _p_lookup(tab_rows, idx_f, precision):
+    """tab_rows [R, 256] contracted with the one-hot of idx_f [1, 128]
+    (integer-valued f32) -> [R, 128]."""
+    from jax import lax
+
+    iif = lax.broadcasted_iota(jnp.int32, (_PN, 128), 0).astype(
+        jnp.float32)
+    m = (iif == idx_f).astype(jnp.float32)            # [256, 128]
+    return lax.dot_general(tab_rows, m, (((1,), (0,)), ((), ())),
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+
+
+def _noise_row(ptab, x, y, z):
+    """Gradient noise for one 128-lane row (perlin.rs:86-105); x/y/z
+    [1, 128]. Mirrors ops/perlin.noise lane for lane."""
+    from jax import lax
+
+    fx, fy, fz = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    ux, uy, uz = x - fx, y - fy, z - fz
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    # Hermite smoothing (perlin.rs:87-89)
+    sx = ux * ux * (3.0 - 2.0 * ux)
+    sy = uy * uy * (3.0 - 2.0 * uy)
+    sz = uz * uz * (3.0 - 2.0 * uz)
+
+    def perm(row, ii):
+        idx = jnp.bitwise_and(ii, _PN - 1).astype(jnp.float32)
+        return _p_lookup(ptab[row:row + 1, :], idx,
+                         lax.Precision.DEFAULT)[0:1].astype(jnp.int32)
+
+    hx = [perm(4, ix), perm(4, ix + 1)]
+    hy = [perm(5, iy), perm(5, iy + 1)]
+    hz = [perm(6, iz), perm(6, iz + 1)]
+
+    acc = jnp.zeros_like(x)
+    for di in range(2):
+        wi = sx if di else (1.0 - sx)
+        for dj in range(2):
+            wj = sy if dj else (1.0 - sy)
+            for dk in range(2):
+                wk = sz if dk else (1.0 - sz)
+                h = jnp.bitwise_xor(jnp.bitwise_xor(hx[di], hy[dj]),
+                                    hz[dk]).astype(jnp.float32)
+                g = _p_lookup(ptab[0:3, :], h,
+                              lax.Precision.HIGHEST)   # [3, 128]
+                dot = (g[0:1] * (ux - di) + g[1:2] * (uy - dj)
+                       + g[2:3] * (uz - dk))
+                acc = acc + (wi * wj * wk) * dot
+    return acc
+
+
+def _marble_row(ptab, px, py, pz, scale):
+    """0.5 * (1 + sin(scale*z + 10*turb(p, 7))) for one row
+    (texture.rs:74-82; turb: perlin.rs:58-71)."""
+    acc = jnp.zeros_like(px)
+    w = 1.0
+    for i in range(7):
+        s = float(2.0 ** i)
+        acc = acc + w * _noise_row(ptab, px * s, py * s, pz * s)
+        w *= 0.5
+    return 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * jnp.abs(acc)))
+
+
 def _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
-                       has_checker=False):
+                       has_checker=False, has_noise=False, ptab=None):
     """hit-attrs + shade + estimator update for one plane tile.
 
     Args:
-      P: [N_IN_B(+N_CHK), BR, 128] float planes (layout above).
+      P: [N_IN_B(+N_CHK)(+1), BR, 128] float planes (layout above; the
+        trailing plane, present when has_noise, is the winner's noise
+        frequency scale).
       pkind: [BR,128] int32 primitive kind (intersect.KIND_*; NONE=miss).
       mkind: [BR,128] int32 material kind (scene MAT_*).
-      flags: [BR,128] int32 — bit 0 FlipFace, bit 1 checker texture.
+      flags: [BR,128] int32 — bit 0 FlipFace, bit 1 checker texture,
+        bit 2 marble-noise texture.
       lt: tuple of n_lights+1 rows of LT_COLS scalars — light table plus
         a trailing background row (cols 0..2 = background RGB).
       n_lights: static light count.
       has_checker: static — evaluate the checker select in-kernel.
+      has_noise: static — evaluate marble noise in-kernel (needs ptab,
+        the [8, 256] perlin table plane; see the section comment above).
 
     Returns [N_OUT_B, BR, 128]. Detached sampling lives inside
     _plane_core; the winning-primitive recompute (_hit_plane_core) is
@@ -117,6 +216,26 @@ def _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
         ax = jnp.where(is_chk, jnp.where(odd, P[49], P[46]), ax)
         ay = jnp.where(is_chk, jnp.where(odd, P[50], P[47]), ay)
         az = jnp.where(is_chk, jnp.where(odd, P[51], P[48]), az)
+    if has_noise:
+        # marble noise at the in-kernel hit point. Miss lanes can carry
+        # the default row's noise flag (material 0 may BE the noise
+        # ground) with a garbage hit point, so gate by pkind and feed
+        # the eval p=0 on non-noise lanes — keeps NaN out of the
+        # forward AND the 0-cotangent backward products.
+        is_nz = ((flags & 4) > 0) & (pkind != KIND_NONE)
+        scale = P[N_IN_B + (N_CHK if has_checker else 0)]
+        zero_ = jnp.zeros_like(px)
+        gx = jnp.where(is_nz, px, zero_)
+        gy = jnp.where(is_nz, py, zero_)
+        gz = jnp.where(is_nz, pz, zero_)
+        rows = []
+        for r in range(px.shape[0]):
+            rows.append(_marble_row(ptab, gx[r:r + 1], gy[r:r + 1],
+                                    gz[r:r + 1], scale[r:r + 1]))
+        marble = jnp.concatenate(rows, axis=0)        # [BR, 128]
+        ax = jnp.where(is_nz, marble, ax)
+        ay = jnp.where(is_nz, marble, ay)
+        az = jnp.where(is_nz, marble, az)
 
     data = (P[3], P[4], P[5],       # d
             px, py, pz, nx, ny, nz,

@@ -72,6 +72,16 @@ PC = 1024               # winner-table rows per one-hot chunk
 _BIGF = 3.0e38
 
 
+def _cparams(has_noise):
+    """Mosaic params for the uber kernels: the in-kernel perlin path's
+    unrolled 7x8 one-hot lookups need ~20MB of scoped VMEM transiently
+    (measured OOM at the default 16MB limit on random, 2026-08-20), so
+    noise scenes raise the budget; non-noise scenes keep the default."""
+    if not has_noise:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _dot_tn(a, b):
     """[R, K] x [K, 128] -> [R, 128] (HIGHEST: 6-pass bf16 ~= f32)."""
     return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -487,13 +497,15 @@ _select_call.defvjp(_select_fwd, _select_bwd)
 # Streams, fold rules and the estimator update are bit-identical to the
 # two-kernel path (same _search_row, same _bounce_plane_core).
 
-def _tile_core(st_t, rnd_t, selv, pkind, lt, n_lights, has_checker):
+def _tile_core(st_t, rnd_t, selv, pkind, lt, n_lights, has_checker,
+               has_noise=False, ptab=None):
     """Megakernel core on one tile, fed from select values in registers.
 
     st_t [N_STATE, BR, L] carry planes; rnd_t [15, BR, L]; selv
     [W, BR, L] winner rows (miss lanes already defaulted); pkind
-    [BR, L] int32. Returns the next carry tile [N_STATE, BR, L].
-    Mirrors bounce_uber's plane assembly exactly (pallas_bounce layout).
+    [BR, L] int32; ptab [8, 256] perlin tables (has_noise scenes).
+    Returns the next carry tile [N_STATE, BR, L]. Mirrors bounce_uber's
+    plane assembly exactly (pallas_bounce layout).
     """
     from rust_ray_tracer_tpu.ops.intersect import (MATTR_ALBEDO,
                                                    MATTR_EVEN,
@@ -501,7 +513,8 @@ def _tile_core(st_t, rnd_t, selv, pkind, lt, n_lights, has_checker):
                                                    MATTR_IOR,
                                                    MATTR_ISCHK,
                                                    MATTR_MKIND,
-                                                   MATTR_ODD)
+                                                   MATTR_ODD,
+                                                   mattr_noise_cols)
     from rust_ray_tracer_tpu.ops.pallas_bounce import _bounce_plane_core
 
     A = 11  # uni column where the material-attr block starts
@@ -523,10 +536,14 @@ def _tile_core(st_t, rnd_t, selv, pkind, lt, n_lights, has_checker):
                   selv[A + MATTR_ODD.start:A + MATTR_ODD.stop]]
         flags = flags | ((selv[A + MATTR_ISCHK] > 0.5).astype(jnp.int32)
                          << 1)
+    if has_noise:
+        sc_col, nz_col = mattr_noise_cols(has_checker)
+        parts += [selv[A + sc_col:A + sc_col + 1]]
+        flags = flags | ((selv[A + nz_col] > 0.5).astype(jnp.int32) << 2)
     P = jnp.concatenate(parts, axis=0)
     mkind = selv[A + MATTR_MKIND].astype(jnp.int32)
     out = _bounce_plane_core(P, pkind, mkind, flags, lt, n_lights,
-                             has_checker)
+                             has_checker, has_noise, ptab)
     return jnp.concatenate([out[0:6], st_t[6:7], out[12:13], out[6:9],
                             out[9:12]], axis=0)
 
@@ -548,10 +565,10 @@ def _rebuild_row(uni_ref, bi, found, dflt_tile):
     return jnp.where(jnp.broadcast_to(found, (w, LANES)), sel, dflt_tile)
 
 
-def _make_fused_kernel(cfg, w, n_lights, has_checker):
+def _make_fused_kernel(cfg, w, n_lights, has_checker, has_noise):
     def kernel(tlive_ref, st_ref, rnd_ref, uni_ref, dflt_ref, det_ref,
                u_ref, v_ref, t_ref, dbl_ref, sph_ref, quad_ref, cab_ref,
-               lt_ref, out_ref, kind_ref, idx_ref, selv_ref):
+               lt_ref, ptab_ref, out_ref, kind_ref, idx_ref, selv_ref):
         i = pl.program_id(0)
 
         @pl.when(tlive_ref[i] == 0)
@@ -587,7 +604,8 @@ def _make_fused_kernel(cfg, w, n_lights, has_checker):
             out_ref[:] = _tile_core(P, rnd_ref[:], selv_ref[:],
                                     kind_ref[:],
                                     _read_lt_local(lt_ref, n_lights + 1),
-                                    n_lights, has_checker)
+                                    n_lights, has_checker, has_noise,
+                                    ptab_ref[:])
 
     return kernel
 
@@ -598,12 +616,12 @@ def _read_lt_local(lt_ref, rows):
                  for r in range(rows))
 
 
-def _make_fused_bwd_kernel(w, n_lights, has_checker):
+def _make_fused_bwd_kernel(w, n_lights, has_checker, has_noise):
     from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
 
     def kernel(tlive_ref, st_ref, rnd_ref, uni_ref, dflt_ref, lt_ref,
-               kind_ref, idx_ref, g_ref, dst_ref, duni_ref, dlt_ref,
-               selv_ref):
+               ptab_ref, kind_ref, idx_ref, g_ref, dst_ref, duni_ref,
+               dlt_ref, selv_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -638,10 +656,11 @@ def _make_fused_bwd_kernel(w, n_lights, has_checker):
             selv = selv_ref[:]
             rnd_t = rnd_ref[:]
             lt = _read_lt_local(lt_ref, n_lights + 1)
+            ptab = ptab_ref[:] if has_noise else None
 
             def core(st_, selv_, lt_):
                 return _tile_core(st_, rnd_t, selv_, kindp, lt_,
-                                  n_lights, has_checker)
+                                  n_lights, has_checker, has_noise, ptab)
 
             _, vjp = jax.vjp(core, st_ref[:], selv, lt)
             dst, dsel, dlt = vjp(g_ref[:])
@@ -692,8 +711,8 @@ def _make_fused_bwd_kernel(w, n_lights, has_checker):
 
 
 def _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
-                dbl_t, sph, quad, cab, lt):
-    (n_lights, has_checker) = cfg[6:8]
+                dbl_t, sph, quad, cab, lt, ptab):
+    (n_lights, has_checker, has_noise) = cfg[6:9]
     w = uni.shape[1]
     cr = st.shape[1]
     nt = cr // BR
@@ -703,7 +722,7 @@ def _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
                                   lambda i, tl: (0, i, 0),
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fused_kernel(cfg, w, n_lights, has_checker),
+        _make_fused_kernel(cfg, w, n_lights, has_checker, has_noise),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt,),
@@ -716,6 +735,7 @@ def _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
                 fix(sph.shape), fix(quad.shape),
                 fix(cab.shape, pltpu.SMEM),
                 fix(lt.shape, pltpu.SMEM),
+                fix(ptab.shape),
             ],
             out_specs=[
                 tile(N_STATE),
@@ -730,9 +750,10 @@ def _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
             jax.ShapeDtypeStruct((cr, LANES), jnp.int32),
             jax.ShapeDtypeStruct((cr, LANES), jnp.int32),
         ],
+        compiler_params=_cparams(has_noise),
         interpret=_pi.INTERPRET,
     )(tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t, sph, quad,
-      cab, lt)
+      cab, lt, ptab)
 
 
 def _name_fused(out):
@@ -743,30 +764,31 @@ def _name_fused(out):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_call(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
-                dbl_t, sph, quad, cab, lt):
+                dbl_t, sph, quad, cab, lt, ptab):
     """One-kernel uber bounce. Differentiable w.r.t. ``st`` (through the
     phase-2 recompute + estimator core), ``uni`` (winner rows) and
-    ``lt`` (light table + background); the selection and the search
-    tables are detached by design (ops/intersect.py)."""
+    ``lt`` (light table + background); the selection, the search
+    tables and the perlin tables are detached by design
+    (ops/intersect.py; pallas_bounce noise section)."""
     st2, _, _ = _name_fused(_fused_impl(cfg, tlive, st, rnd, uni, dflt,
                                         det_t, u_t, v_t, t_t, dbl_t,
-                                        sph, quad, cab, lt))
+                                        sph, quad, cab, lt, ptab))
     return st2
 
 
 def _fused_fwd(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t, t_t,
-               dbl_t, sph, quad, cab, lt):
+               dbl_t, sph, quad, cab, lt, ptab):
     st2, kind, idx = _name_fused(
         _fused_impl(cfg, tlive, st, rnd, uni, dflt, det_t, u_t, v_t,
-                    t_t, dbl_t, sph, quad, cab, lt))
-    return st2, (tlive, st, rnd, uni, dflt, lt, kind, idx)
+                    t_t, dbl_t, sph, quad, cab, lt, ptab))
+    return st2, (tlive, st, rnd, uni, dflt, lt, ptab, kind, idx)
 
 
 def _fused_bwd(cfg, res, g):
     import numpy as np
-    tlive, st, rnd, uni, dflt, lt, kind, idx = res
-    (n_lights, has_checker) = cfg[6:8]
-    (det_sh, dbl_sh, sph_sh, quad_sh, cab_sh) = cfg[8:13]
+    tlive, st, rnd, uni, dflt, lt, ptab, kind, idx = res
+    (n_lights, has_checker, has_noise) = cfg[6:9]
+    (det_sh, dbl_sh, sph_sh, quad_sh, cab_sh) = cfg[9:14]
     from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
 
     w = uni.shape[1]
@@ -778,7 +800,7 @@ def _fused_bwd(cfg, res, g):
                                   lambda i, tl: (0, i, 0),
                                   memory_space=pltpu.VMEM)
     dst, duni, dlt = pl.pallas_call(
-        _make_fused_bwd_kernel(w, n_lights, has_checker),
+        _make_fused_bwd_kernel(w, n_lights, has_checker, has_noise),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt,),
@@ -787,6 +809,7 @@ def _fused_bwd(cfg, res, g):
                 fix(uni.shape),
                 fix(dflt.shape, pltpu.SMEM),
                 fix(lt.shape, pltpu.SMEM),
+                fix(ptab.shape),
                 pl.BlockSpec((BR, LANES), lambda i, tl: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BR, LANES), lambda i, tl: (i, 0),
@@ -805,15 +828,16 @@ def _fused_bwd(cfg, res, g):
             jax.ShapeDtypeStruct(uni.shape, jnp.float32),
             jax.ShapeDtypeStruct((nt, 8, LANES), jnp.float32),
         ],
+        compiler_params=_cparams(has_noise),
         interpret=_pi.INTERPRET,
-    )(tlive, st, rnd, uni, dflt, lt, kind, idx, g)
+    )(tlive, st, rnd, uni, dflt, lt, ptab, kind, idx, g)
     rows = lt.shape[0]
     d_lt = dlt[:, 0, :rows * LT_COLS].sum(0).reshape(rows, LT_COLS)
     z = lambda sh: jnp.zeros(sh, jnp.float32)  # noqa: E731
     return (np.zeros(jnp.shape(tlive), jax.dtypes.float0), dst,
             z(jnp.shape(rnd)), duni, z(jnp.shape(dflt)), z(det_sh),
             z(det_sh), z(det_sh), z(det_sh), z(dbl_sh), z(sph_sh),
-            z(quad_sh), z(cab_sh), d_lt)
+            z(quad_sh), z(cab_sh), d_lt, z(jnp.shape(ptab)))
 
 
 _fused_call.defvjp(_fused_fwd, _fused_bwd)
@@ -849,10 +873,11 @@ _fused_call.defvjp(_fused_fwd, _fused_bwd)
 # from the SAME threefry streams, and tiles/bounces execute the same
 # per-tile math in the same order.
 
-def _make_trace_kernel(cfg, w, n_lights, has_checker, depth):
+def _make_trace_kernel(cfg, w, n_lights, has_checker, has_noise, depth):
     def kernel(st0_ref, rnd_ref, uni_ref, dflt_ref, det_ref, u_ref,
                v_ref, t_ref, dbl_ref, sph_ref, quad_ref, cab_ref,
-               lt_ref, stf_ref, hist_ref, kind_ref, idx_ref, selv_ref):
+               lt_ref, ptab_ref, stf_ref, hist_ref, kind_ref, idx_ref,
+               selv_ref):
         d = pl.program_id(1)
 
         @pl.when(d == 0)
@@ -893,16 +918,17 @@ def _make_trace_kernel(cfg, w, n_lights, has_checker, depth):
             stf_ref[:] = _tile_core(
                 P, rnd_ref[0], selv_ref[:], kind_ref[0],
                 _read_lt_local(lt_ref, n_lights + 1), n_lights,
-                has_checker)
+                has_checker, has_noise, ptab_ref[:])
 
     return kernel
 
 
-def _make_trace_bwd_kernel(w, n_lights, has_checker, depth):
+def _make_trace_bwd_kernel(w, n_lights, has_checker, has_noise, depth):
     from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
 
-    def kernel(hist_ref, rnd_ref, uni_ref, dflt_ref, lt_ref, kind_ref,
-               idx_ref, g_ref, dst_ref, duni_ref, dlt_ref, selv_ref):
+    def kernel(hist_ref, rnd_ref, uni_ref, dflt_ref, lt_ref, ptab_ref,
+               kind_ref, idx_ref, g_ref, dst_ref, duni_ref, dlt_ref,
+               selv_ref):
         i = pl.program_id(0)
         dd = pl.program_id(1)    # reversed bounce (index maps handle it)
 
@@ -940,10 +966,11 @@ def _make_trace_bwd_kernel(w, n_lights, has_checker, depth):
             selv = selv_ref[:]
             rnd_t = rnd_ref[0]
             lt = _read_lt_local(lt_ref, n_lights + 1)
+            ptab = ptab_ref[:] if has_noise else None
 
             def core(st_, selv_, lt_):
                 return _tile_core(st_, rnd_t, selv_, kindp, lt_,
-                                  n_lights, has_checker)
+                                  n_lights, has_checker, has_noise, ptab)
 
             _, vjp = jax.vjp(core, P, selv, lt)
             dst, dsel, dlt = vjp(dst_ref[:])
@@ -988,16 +1015,17 @@ def _make_trace_bwd_kernel(w, n_lights, has_checker, depth):
 
 
 def _trace_impl(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
-                sph, quad, cab, lt):
-    (n_lights, has_checker) = cfg[6:8]
-    depth = cfg[13]
+                sph, quad, cab, lt, ptab):
+    (n_lights, has_checker, has_noise) = cfg[6:9]
+    depth = cfg[14]
     w = uni.shape[1]
     cr = st0.shape[1]
     nt = cr // BR
     fix = lambda shape, space=pltpu.VMEM: pl.BlockSpec(  # noqa: E731
         shape, lambda i, d: tuple(0 for _ in shape), memory_space=space)
     return pl.pallas_call(
-        _make_trace_kernel(cfg, w, n_lights, has_checker, depth),
+        _make_trace_kernel(cfg, w, n_lights, has_checker, has_noise,
+                           depth),
         grid=(nt, depth),
         in_specs=[
             pl.BlockSpec((N_STATE, BR, LANES), lambda i, d: (0, i, 0),
@@ -1011,6 +1039,7 @@ def _trace_impl(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
             fix(sph.shape), fix(quad.shape),
             fix(cab.shape, pltpu.SMEM),
             fix(lt.shape, pltpu.SMEM),
+            fix(ptab.shape),
         ],
         out_specs=[
             pl.BlockSpec((N_STATE, BR, LANES), lambda i, d: (0, i, 0),
@@ -1031,37 +1060,38 @@ def _trace_impl(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
             jax.ShapeDtypeStruct((depth, cr, LANES), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((w, BR, LANES), jnp.float32)],
+        compiler_params=_cparams(has_noise),
         interpret=_pi.INTERPRET,
     )(st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t, sph, quad,
-      cab, lt)
+      cab, lt, ptab)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _trace_call(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
-                sph, quad, cab, lt):
+                sph, quad, cab, lt, ptab):
     """Whole-wave bounce loop in one dispatch (see section comment).
     Returns the final carry planes. Differentiable w.r.t. ``st0``,
-    ``uni`` and ``lt``; selection + search tables detached."""
+    ``uni`` and ``lt``; selection + search/perlin tables detached."""
     stf, _, kind, idx = _trace_impl(cfg, st0, rnd, uni, dflt, det_t,
                                     u_t, v_t, t_t, dbl_t, sph, quad,
-                                    cab, lt)
+                                    cab, lt, ptab)
     return stf
 
 
 def _trace_fwd(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t, dbl_t,
-               sph, quad, cab, lt):
+               sph, quad, cab, lt, ptab):
     stf, hist, kind, idx = _trace_impl(cfg, st0, rnd, uni, dflt, det_t,
                                        u_t, v_t, t_t, dbl_t, sph, quad,
-                                       cab, lt)
-    return stf, (hist, rnd, uni, dflt, lt, kind, idx)
+                                       cab, lt, ptab)
+    return stf, (hist, rnd, uni, dflt, lt, ptab, kind, idx)
 
 
 def _trace_bwd(cfg, res, g):
     import numpy as np
-    hist, rnd, uni, dflt, lt, kind, idx = res
-    (n_lights, has_checker) = cfg[6:8]
-    (det_sh, dbl_sh, sph_sh, quad_sh, cab_sh) = cfg[8:13]
-    depth = cfg[13]
+    hist, rnd, uni, dflt, lt, ptab, kind, idx = res
+    (n_lights, has_checker, has_noise) = cfg[6:9]
+    (det_sh, dbl_sh, sph_sh, quad_sh, cab_sh) = cfg[9:14]
+    depth = cfg[14]
     from rust_ray_tracer_tpu.ops.pallas_shade import LT_COLS
 
     w = uni.shape[1]
@@ -1071,7 +1101,8 @@ def _trace_bwd(cfg, res, g):
     fix = lambda shape, space=pltpu.VMEM: pl.BlockSpec(  # noqa: E731
         shape, lambda i, d: tuple(0 for _ in shape), memory_space=space)
     dst, duni, dlt = pl.pallas_call(
-        _make_trace_bwd_kernel(w, n_lights, has_checker, depth),
+        _make_trace_bwd_kernel(w, n_lights, has_checker, has_noise,
+                               depth),
         grid=(nt, depth),
         in_specs=[
             pl.BlockSpec((1, N_STATE, BR, LANES),
@@ -1083,6 +1114,7 @@ def _trace_bwd(cfg, res, g):
             fix(uni.shape),
             fix(dflt.shape, pltpu.SMEM),
             fix(lt.shape, pltpu.SMEM),
+            fix(ptab.shape),
             pl.BlockSpec((1, BR, LANES), lambda i, d: (rev(d), i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BR, LANES), lambda i, d: (rev(d), i, 0),
@@ -1102,14 +1134,15 @@ def _trace_bwd(cfg, res, g):
             jax.ShapeDtypeStruct((8, LANES), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((w, BR, LANES), jnp.float32)],
+        compiler_params=_cparams(has_noise),
         interpret=_pi.INTERPRET,
-    )(hist, rnd, uni, dflt, lt, kind, idx, g)
+    )(hist, rnd, uni, dflt, lt, ptab, kind, idx, g)
     rows = lt.shape[0]
     d_lt = dlt[0, :rows * LT_COLS].reshape(rows, LT_COLS)
     z = lambda sh: jnp.zeros(sh, jnp.float32)  # noqa: E731
     return (dst, z(jnp.shape(rnd)), duni, z(jnp.shape(dflt)),
             z(det_sh), z(det_sh), z(det_sh), z(det_sh), z(dbl_sh),
-            z(sph_sh), z(quad_sh), z(cab_sh), d_lt)
+            z(sph_sh), z(quad_sh), z(cab_sh), d_lt, z(jnp.shape(ptab)))
 
 
 _trace_call.defvjp(_trace_fwd, _trace_bwd)
@@ -1129,7 +1162,7 @@ def trace_wave_uber(scene, wkey, width: int, height: int,
 
     if ctx is None:
         ctx = make_ctx(scene)
-    uni, dflt, (t_off, s_off, q_off), search, lt, cab = ctx
+    uni, dflt, (t_off, s_off, q_off), search, lt, cab, ptab = ctx
     det_t, u_t, v_t, t_t, dbl_t, sph, quad = search
 
     n = width * height
@@ -1171,14 +1204,15 @@ def trace_wave_uber(scene, wkey, width: int, height: int,
 
     from rust_ray_tracer_tpu.ops.intersect import KIND_NONE  # noqa: F401
     has_checker = scene.tex_even.shape[0] > 0
+    has_noise = scene.perlin_vec.shape[0] > 0
     cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,
            scene.quad_q.shape[0] > 0, t_off, s_off, q_off,
-           int(lt.shape[0]) - 1, has_checker,
+           int(lt.shape[0]) - 1, has_checker, has_noise,
            tuple(det_t.shape), tuple(dbl_t.shape),
            tuple(sph.shape), tuple(quad.shape), tuple(cab.shape),
            int(depth))
     stf = _trace_call(cfg, st0, rnd, uni, dflt, det_t, u_t, v_t, t_t,
-                      dbl_t, sph, quad, cab, lt)
+                      dbl_t, sph, quad, cab, lt, ptab)
     L = stf[8:11].reshape(3, n_chunks, cr_c * LANES)
     L = jnp.moveaxis(L, 0, 2)[:, :chunk_size, :]      # [n_chunks, C, 3]
     return L.reshape(n_chunks * chunk_size, 3)
@@ -1198,15 +1232,36 @@ def _pad_rows(x, mult, value=0.0):
 
 
 def uber_eligible(scene) -> bool:
-    """Static per-scene gate for the plane-resident uber bounce."""
-    from rust_ray_tracer_tpu.ops import pallas_bounce as pb
-
+    """Static (shape-only — callable at trace time) per-scene gate for
+    the plane-resident uber bounce. Unlike pallas_bounce.eligible,
+    marble-noise scenes ARE eligible since r5: the fused/trace cores
+    evaluate perlin in-kernel via one-hot MXU lookups (random,
+    rect_light, perlin_spheres — final_scene stays media-blocked).
+    Constraints on the noise route: the one-kernel (fused) core only
+    (RRT_NO_UBER_FUSED falls back to the XLA shade path), and no
+    checker textures in the same scene (a checker-of-noise LEAF would
+    need a second marble eval the in-kernel checker select doesn't do;
+    no builder scene mixes them — shape-only check)."""
     if os.environ.get("RRT_NO_UBER", "") == "1":
         return False
+    if os.environ.get("RRT_NO_MEGAKERNEL", "") == "1":
+        return False
+    if os.environ.get("RRT_NO_PALLAS_SHADE", "") == "1":
+        return False          # debugging isolation: keep shade() reachable
     if scene.n_media:
         return False          # media free-flight stays on the split path
-    if not pb.eligible(scene):
-        return False          # noise/image textures or light-table size
+    if scene.img_data.shape[0]:
+        return False          # image texel tables don't fit the kernel
+    from rust_ray_tracer_tpu.ops.pallas_bounce import LT_COLS
+    if (scene.n_lights + 1) * LT_COLS > LANES:
+        return False
+    if scene.perlin_vec.shape[0]:
+        if os.environ.get("RRT_UBER_NOISE", "1") == "0":
+            return False
+        if os.environ.get("RRT_NO_UBER_FUSED", "") == "1":
+            return False
+        if scene.tex_even.shape[0]:
+            return False      # checker + noise mix unsupported in-kernel
     rows = (scene.tri_v0.shape[0] + scene.sph_c0.shape[0]
             + scene.quad_q.shape[0])
     return 0 < rows <= ROWS_MAX
@@ -1349,7 +1404,19 @@ def make_ctx(scene):
          jnp.pad(scene.background[None, :], ((0, 0), (0, LT_COLS - 3)))],
         axis=0)
     cab = _chunk_aabbs(scene_s, search[0].shape[0])
-    return uni, dflt, offs, search, lt, cab
+    # perlin tables as one [8, 256] VMEM plane: rows 0-2 gradient x/y/z
+    # (transposed), rows 4-6 the permutation tables as exact-int f32.
+    # Detached (pallas_bounce noise section); zeros when the scene has
+    # no noise texture (the kernels never read it then).
+    if scene_s.perlin_vec.shape[0]:
+        ptab = jnp.zeros((8, 256), jnp.float32)
+        ptab = ptab.at[0:3, :].set(scene_s.perlin_vec.T)
+        ptab = ptab.at[4, :].set(scene_s.perlin_px.astype(jnp.float32))
+        ptab = ptab.at[5, :].set(scene_s.perlin_py.astype(jnp.float32))
+        ptab = ptab.at[6, :].set(scene_s.perlin_pz.astype(jnp.float32))
+    else:
+        ptab = jnp.zeros((8, 256), jnp.float32)
+    return uni, dflt, offs, search, lt, cab, ptab
 
 
 def _chunk_aabbs(scene_s, tp: int):
@@ -1423,18 +1490,19 @@ def bounce_uber(scene, bkey, st, rand=None, ctx=None):
     alive = st[7]
     tlive = jnp.any(alive.reshape(cr // BR, BR, LANES) > 0.5,
                     axis=(1, 2)).astype(jnp.int32)
-    uni, dflt, (t_off, s_off, q_off), search, lt, cab = ctx
+    uni, dflt, (t_off, s_off, q_off), search, lt, cab, ptab = ctx
     det_t, u_t, v_t, t_t, dbl_t, sph, quad = search
+    has_noise = scene.perlin_vec.shape[0] > 0
 
     if os.environ.get("RRT_NO_UBER_FUSED", "") != "1":
         # one-kernel bounce: search + phase 2 + shade + update fused
         cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,
                scene.quad_q.shape[0] > 0, t_off, s_off, q_off,
-               int(lt.shape[0]) - 1, has_checker,
+               int(lt.shape[0]) - 1, has_checker, has_noise,
                tuple(det_t.shape), tuple(dbl_t.shape),
                tuple(sph.shape), tuple(quad.shape), tuple(cab.shape))
         return _fused_call(cfg, tlive, st, rnd, uni, dflt, det_t, u_t,
-                           v_t, t_t, dbl_t, sph, quad, cab, lt)
+                           v_t, t_t, dbl_t, sph, quad, cab, lt, ptab)
 
     st8 = lax.stop_gradient(st[0:N_ST])
     cfg = (scene.tri_v0.shape[0] > 0, scene.sph_c0.shape[0] > 0,

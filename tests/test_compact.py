@@ -246,9 +246,14 @@ class TestAutoCompact:
         monkeypatch.setattr(pk, "on_tpu", lambda: True)
         for name, expect in (("cornell_box", False),       # uber route
                              ("cornell_triangle", False),  # uber route
-                             ("random", True)):   # noise ground blocks
+                             # in-kernel marble made random uber-eligible
+                             ("random", False)):
             sd = compile_scene(builders.get_scene(name, 16 / 9))
             assert integrator.auto_compact(sd) is expect, name
+        # opting out of in-kernel noise re-enables the occupancy probe
+        monkeypatch.setenv("RRT_UBER_NOISE", "0")
+        sd = compile_scene(builders.get_scene("random", 16 / 9))
+        assert integrator.auto_compact(sd) is True
 
     def test_small_mesh_in_void_off(self):
         from rust_ray_tracer_tpu.models.gltf import load_gltf_scene

@@ -187,6 +187,106 @@ def test_uber_checker_grads():
     assert (np.asarray(g_ref.tex_color) != 0).any()
 
 
+def noise_scene():
+    """random-scene shape: marble-noise ground + solid/metal/dielectric
+    spheres (scene.rs:33-43 ground = Noise(4.0))."""
+    cam = make_camera(np.eye(3, 4, dtype=np.float32), 60.0, 1.0)
+    return compile_scene(S.Scene(cam, [
+        S.Sphere((0, -101, -4), 100.0, S.Lambertian(S.Noise(0.8))),
+        S.Sphere((0, 0, -4), 1.0, S.Lambertian.from_rgb(0.5, 0.4, 0.3)),
+        S.Sphere((-2.2, 0, -4), 1.0, S.Metal((0.8, 0.8, 0.9), 0.1)),
+        S.Sphere((2.2, 0, -4), 1.0, S.Dielectric(1.5)),
+    ], [], (0.7, 0.8, 1.0)))
+
+
+def test_uber_noise_forward_matches_xla():
+    """In-kernel marble (one-hot MXU perlin lookups) vs the XLA
+    texture_value path: same streams, same tables — only fp order
+    differs (the lookups themselves are exact), so the comparison is
+    the documented pallas-vs-XLA drift class."""
+    sd = noise_scene()
+    key = jax.random.PRNGKey(23)
+    ref = np.asarray(_render(sd, key, "xla"))
+    got = np.asarray(_render(sd, key, "uber"))
+    assert np.isfinite(got).all()
+    flips = (np.abs(got - ref) > 1e-3).any(-1)
+    assert flips.mean() <= 0.01, flips.sum()
+    np.testing.assert_allclose(np.where(flips[..., None], ref, got), ref,
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_uber_noise_grads():
+    """Geometry/scale gradients THROUGH the in-kernel marble eval (the
+    vjp flows d albedo -> d hit point -> d sphere params, and d scale
+    rides the winner-row d_uni path) match the XLA pipeline. The perlin
+    TABLES are detached by design in the kernel (a fixed procedural
+    basis — pallas_bounce noise section); the XLA path incidentally
+    exposes d perlin_vec, so that one field is asserted zero instead."""
+    sd = noise_scene()
+    key = jax.random.PRNGKey(29)
+    diff, static = partition(sd)
+
+    def loss(diff):
+        img = render_waves(combine(diff, static), 16, 12, key, 0, 1,
+                           chunk_size=192)
+        return jnp.mean(img)
+
+    real_on_tpu = pim.on_tpu
+    g_ref = jax.grad(loss)(diff)
+    pim.on_tpu = lambda: True
+    try:
+        g_got = jax.grad(loss)(diff)
+    finally:
+        pim.on_tpu = real_on_tpu
+    # tolerance note: at 192 samples a single boundary-forked path
+    # (the measured pallas-vs-XLA drift class, tools/r5_parity_diag)
+    # shifts every mean-gradient entry by ~0.1-2% in a correlated way;
+    # the marble vjp itself is checked exactly in
+    # test_marble_row_matches_xla_perlin below
+    for name in ("tex_scale", "sph_c0", "sph_r", "background",
+                 "mat_fuzz", "mat_ior"):
+        np.testing.assert_allclose(np.asarray(getattr(g_got, name)),
+                                   np.asarray(getattr(g_ref, name)),
+                                   rtol=5e-2, atol=5e-4, err_msg=name)
+    assert (np.asarray(g_ref.tex_scale) != 0).any()
+    assert (np.asarray(g_ref.perlin_vec) != 0).any()   # XLA exposes it
+    assert (np.asarray(g_got.perlin_vec) == 0).all()   # kernel detaches
+
+
+def test_marble_row_matches_xla_perlin():
+    """The in-kernel marble formula (one-hot lookups, pure jnp here) vs
+    the XLA texture path on the same tables: values to fp accuracy and
+    the vjp w.r.t. the hit point to 1e-4 relative — the decisive check
+    that d(albedo)/dp through the kernel noise is the XLA gradient."""
+    from rust_ray_tracer_tpu.ops import perlin
+    from rust_ray_tracer_tpu.ops.pallas_bounce import _marble_row
+
+    sd = noise_scene()
+    ptab = jnp.zeros((8, 256), jnp.float32)
+    ptab = ptab.at[0:3, :].set(sd.perlin_vec.T)
+    ptab = ptab.at[4, :].set(sd.perlin_px.astype(jnp.float32))
+    ptab = ptab.at[5, :].set(sd.perlin_py.astype(jnp.float32))
+    ptab = ptab.at[6, :].set(sd.perlin_pz.astype(jnp.float32))
+    key = jax.random.PRNGKey(41)
+    p = jax.random.uniform(key, (128, 3), minval=-7.0, maxval=7.0)
+    scale = jnp.full((1, 128), 0.8)
+
+    def f_kernel(p):
+        return _marble_row(ptab, p[None, :, 0], p[None, :, 1],
+                           p[None, :, 2], scale).sum()
+
+    def f_xla(p):
+        t = perlin.turb(sd.perlin_vec, sd.perlin_px, sd.perlin_py,
+                        sd.perlin_pz, p)
+        return (0.5 * (1.0 + jnp.sin(0.8 * p[:, 2] + 10.0 * t))).sum()
+
+    va, ga = jax.value_and_grad(f_kernel)(p)
+    vb, gb = jax.value_and_grad(f_xla)(p)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_uber_eligibility_gate(monkeypatch):
     assert pu.uber_eligible(solid_scene())
     assert pu.uber_eligible(checker_scene())
@@ -199,11 +299,19 @@ def test_uber_eligibility_gate(monkeypatch):
             (0.9, 0.9, 0.9)),
     ], [], (0.2, 0.3, 0.5)))
     assert not pu.uber_eligible(med)
-    # noise texture -> ineligible (megakernel gate)
+    # noise texture -> eligible since r5 (in-kernel marble); the opt-out
+    # and the fused-core requirement gate it
     noise = compile_scene(S.Scene(cam, [
         S.Sphere((0, 0, -4), 1.0, S.Lambertian(S.Noise(4.0))),
     ], [], (0.1, 0.1, 0.1)))
+    assert pu.uber_eligible(noise)
+    monkeypatch.setenv("RRT_UBER_NOISE", "0")
     assert not pu.uber_eligible(noise)
+    monkeypatch.delenv("RRT_UBER_NOISE")
+    monkeypatch.setenv("RRT_NO_UBER_FUSED", "1")
+    assert not pu.uber_eligible(noise)
+    assert pu.uber_eligible(solid_scene())   # fused-only gate is noise-only
+    monkeypatch.delenv("RRT_NO_UBER_FUSED")
     monkeypatch.setenv("RRT_NO_UBER", "1")
     assert not pu.uber_eligible(solid_scene())
 

@@ -56,12 +56,13 @@ FLIP_EPS = 1e-3
 # class (v5e 2026-08-20, tools/r5_parity_diag.py across seeds 0-2), so
 # the gate stays red-sensitive to regressions while budgeting the
 # documented fp class: both backends share threefry streams, so any
-# divergence starts at an fp-reassociation boundary compare and forks
-# that sample's whole path. suzanne measured EXACT (0 flips). random
-# measured flips 5.2-5.4% / rel_mean +1.1e-4..+1.9e-4 (curved
-# glass+fuzz: a near-tie root flip forks 4-bounce paths; uber-vs-split
-# is BITWISE, so the class lives between split-pallas and XLA sphere
-# eval orders). final_scene measured flips 0.24-0.32% with rel_mean
+# divergence starts at an fp boundary and forks that sample's whole
+# path. suzanne measured EXACT (0 flips). random measured flips
+# 5.2-5.4% / rel_mean +1.1e-4..+1.9e-4; the phase-1 winners agree
+# EXACTLY (tools/r5_search_agree: 0 found/kind/idx mismatches on 18k+
+# rays incl. post-bounce-like jitter), so the class is continuous
+# shade-math fp drift amplified over curved glass/fuzz bounces until a
+# downstream compare forks. final_scene measured flips 0.24-0.32% with rel_mean
 # SIGN-FLIPPING across seeds (+3.3e-3 / -7.6e-3): unbiased media
 # boundary forks that land on the 15-bright lamp (61-65% of flipped
 # pixels are lamp-lit), not bias. composite measured 1.55% / 8.8e-5.
